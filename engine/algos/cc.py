@@ -1,0 +1,131 @@
+"""Connected components via alternating large-star / small-star.
+
+Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+in MapReduce and Beyond" (SOCC'14). Converges in O(log^2 n) rounds, <10 in
+practice, independent of graph diameter — which is why it is the mandated
+algorithm (BASELINE.json north_rule) rather than diameter-bound min-label
+flooding: a path-shaped 10^9-vertex graph would need 10^9 flooding rounds.
+
+Implementation is pure DataFrame ops; neighbor lists are never collected —
+each star step is a groupBy-min + join, so hub vertices cost one partial-agg
+row per partition, not an in-memory adjacency list.
+
+Verum parity: the reference computed connectivity ad hoc with
+``networkx.connected_components`` in analysis notebooks ([R example
+notebooks, reconstructed — SURVEY.md Table A C1]); labels here match it
+exactly: every vertex is labeled with the minimum vid of its component.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.algos.pagerank import iterative_conf
+
+
+@dataclass
+class CCResult:
+    labels: DataFrame  # (vid, label) — label = min vid of the component
+    rounds: int
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each u over the symmetric view: m = min(Γ(u) ∪ {u}); emit (v, m)
+    for every neighbor v > u."""
+    s = _sym(e)
+    m = s.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", F.col("u")).alias("m")
+    )
+    return (
+        s.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient to (max,min); for each u: m = min(Γ≤(u) ∪ {u}); emit (v, m)
+    for v in Γ≤(u) ∪ {u}, dropping the m self-loop."""
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
+    nbr_edges = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = m.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    """Order-insensitive edge-set fingerprint: (count, xor of pair hashes) —
+    xor is overflow-free under ANSI mode and order/partitioning-insensitive.
+    Rows are distinct by construction, so xor-cancellation needs a genuine
+    64-bit collision. Two scalar aggregates — the only per-round traffic."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> CCResult:
+    """Label every vertex with the min vid of its connected component
+    (edge direction ignored; isolated vertices keep their own vid)."""
+    with iterative_conf(spark):
+        return _cc_loop(spark, edges, vertices, max_rounds)
+
+
+def _cc_loop(spark, edges, vertices, max_rounds):
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+    vids = vertices.select("vid")
+
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # lineage cut per round, in-memory
+    )
+    prev = _checksum(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At the fixpoint the edge set is a union of stars (v, root). A vertex
+    # appearing only as a root — or isolated — labels itself.
+    assign = e.groupBy(F.col("u").alias("vid")).agg(F.min("v").alias("label"))
+    labels = vids.join(assign, "vid", "left").select(
+        "vid", F.coalesce("label", "vid").alias("label")
+    )
+    return CCResult(labels, rounds)

@@ -1,0 +1,119 @@
+"""Synchronous label propagation with a deterministic spec (SURVEY.md §5.3).
+
+Exact-match LPA requires removing every source of nondeterminism that the
+usual async/randomized formulations carry (networkx's builtin
+``asyn_lpa_communities`` is randomized and unusable as an exact oracle):
+
+  (a) undirected view: edges ∪ reversed, self-loops dropped, parallel edges
+      collapsed (a neighbor votes once regardless of multiplicity);
+  (b) synchronous rounds — every label updates from the round-i state;
+  (c) new label = most frequent neighbor label, ties -> smallest label id;
+  (d) isolated vertices keep their own label;
+  (e) converged when no label changes, when the state 2-cycles (oscillation
+      breaker: if state_i == state_{i-2}, take the elementwise min of the
+      two states and stop), or at max_iter.
+
+The same spec is implemented in tests/oracle_lpa.py; the engine must match
+it exactly (BASELINE.json north_rule: "label propagation ... exact").
+
+Vote counting is two builtin aggregations (groupBy(vid,label).count ->
+max-of-struct), never a collected neighbor list; the max-of-struct trick
+(`max(struct(cnt, -label))`) gets "highest count, ties -> smallest label"
+in one partial-aggregable pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.algos.pagerank import iterative_conf
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # (vid, label)
+    iterations: int
+    converged: bool
+
+
+def _state_checksum(labels: DataFrame) -> tuple[int, int]:
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("vid", "label")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+) -> LPAResult:
+    with iterative_conf(spark):
+        return _lpa_loop(spark, edges, vertices, max_iter)
+
+
+def _lpa_loop(spark, edges, vertices, max_iter):
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+    vids = vertices.select("vid").localCheckpoint(eager=True)
+
+    # (a) undirected simple neighbor list as an edge table.
+    nbrs = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = vids.select("vid", F.col("vid").alias("label")).localCheckpoint(eager=True)
+    history: list[tuple[tuple[int, int], DataFrame]] = [(_state_checksum(labels), labels)]
+
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        votes = (
+            nbrs.join(labels.withColumnRenamed("vid", "v"), "v")
+            .groupBy(F.col("u").alias("vid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # (c): max count, ties -> smallest label, via max(struct(cnt,-label)).
+        best = votes.groupBy("vid").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b")
+        ).select("vid", (-F.col("b.nl")).alias("label"))
+        # (d): vertices with no neighbors keep their current label.
+        new_labels = (
+            vids.join(best, "vid", "left")
+            .join(labels.withColumnRenamed("label", "old"), "vid", "left")
+            .select("vid", F.coalesce("label", "old").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cs = _state_checksum(new_labels)
+        if cs == history[-1][0]:
+            labels = new_labels
+            converged = True
+            break
+        # (e) oscillation breaker: 2-cycle -> elementwise min of both states.
+        if len(history) >= 2 and cs == history[-2][0]:
+            a = new_labels
+            b = history[-1][1].withColumnRenamed("label", "label_b")
+            labels = a.join(b, "vid").select(
+                "vid", F.least("label", "label_b").alias("label")
+            ).localCheckpoint(eager=True)
+            converged = True
+            break
+        history.append((cs, new_labels))
+        if len(history) > 3:
+            history.pop(0)
+        labels = new_labels
+
+    return LPAResult(labels, it, converged)

@@ -1,0 +1,321 @@
+"""PageRank as an iterative DataFrame algorithm — the engine flagship.
+
+Semantics: damped PageRank with dangling-mass redistribution, optionally
+*personalized* (a teleport-mass DataFrame), which is exactly the rebuild of
+Verum's topic-sensitive score propagation — the reference delegated scoring
+to ``networkx.pagerank(personalization=topic_nodes)``
+([R plugins/networkx.py::score_subgraph, reconstructed — SURVEY.md Table A
+S2]); the north rule grades the plain damped variant and the personalized
+one is a parameter away (SURVEY.md §7.3.4).
+
+Scale design (the parts that must survive 10^12 edges):
+
+- **Edges shuffle once, state moves per iteration.** The edge table is
+  normalized (weight / out-weight), pre-partitioned on ``src`` and persisted
+  before the loop. Each iteration then moves only the O(V) rank state: as a
+  broadcast (small V — the gather is then map-side against the partitioned
+  edge cache, zero edge movement) or as a hash shuffle (large V).
+  ``broadcast_state`` picks automatically by V.
+- **ONE action per iteration.** The whole iteration — gather join, salted
+  aggregation, update join, new-state materialization — is a single Spark
+  job; the convergence L1 delta and the *next* iteration's dangling mass
+  are captured during that same job via ``df.observe`` (Observation API),
+  so no second pass and no extra driver round-trips ever happen. (Dangling
+  mass for iteration i+1 is ``sum(value_i over dangling vids)`` — a static
+  per-vertex flag computed once — so observing it on iteration i's output
+  is exact.)
+- **Hub salting.** ``groupBy(dst).sum`` partial aggregation already bounds
+  hot keys to one partial row per map partition, but the final-agg reducer
+  for a mega-hub still receives all partials; for dsts on the (broadcast)
+  hub list we pre-attach a salt modulus to the edge table ONCE, and the
+  loop aggregates ``groupBy(dst, salt)`` then ``groupBy(dst)`` — the
+  explicit two-phase skew path demanded by the north rule. Skipped entirely
+  when no vertex crosses the hub threshold.
+- **Pinned planner conf for the loop** (``iterative_conf``): AQE off (it
+  re-plans every one of the O(iterations) materializations — measured ~5x
+  per-iteration overhead at small scale, no benefit for these static
+  shapes) and shuffled-hash over sort-merge (SMJ would re-sort the edge
+  cache every iteration).
+- **Constant-depth plans + resumability**: each iteration's state is a
+  Parquet checkpoint, re-read as the next iteration's input (lineage cut);
+  resume picks up from the last committed manifest (io.RunCheckpoint).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from engine.graph import hub_vertices
+from engine.io import RunCheckpoint
+
+
+@contextmanager
+def iterative_conf(spark: SparkSession):
+    """Pin query-planning conf for driver-controlled iteration loops; restore
+    on exit so relational queries keep AQE."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.join.preferSortMergeJoin": conf.get(
+            "spark.sql.join.preferSortMergeJoin"
+        ),
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (vid, value)
+    iterations: int
+    converged: bool
+    l1_delta: float
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+    resumed_from: int | None = None
+
+
+# Above this many vertices the per-iteration broadcast of the rank state
+# stops paying for itself vs a hash shuffle of the same rows.
+BROADCAST_STATE_MAX_V = 2_000_000
+
+STATE_COLS = ("vid", "p", "dang", "value")
+
+
+def _prepare_edges(
+    edges: DataFrame,
+    weighted: bool,
+    salt_hub_threshold: int | None,
+    salt_buckets: int,
+    partitions: int,
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Returns (norm_edges(src,dst,cw,salt), out_vids(vid), has_hubs).
+
+    cw = transition probability src->dst; salt pre-attached so the loop pays
+    nothing per-iteration for skew handling; with no hubs the loop skips the
+    salt stage entirely."""
+    w = F.col("weight") if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("cw")
+    )
+    has_hubs = False
+    hubs = None
+    if salt_hub_threshold is not None:
+        hubs = hub_vertices(edges, salt_hub_threshold).select(
+            F.col("vid").alias("dst"), F.lit(salt_buckets).alias("salt_mod")
+        )
+        has_hubs = not hubs.isEmpty()
+    if has_hubs:
+        norm = norm.join(F.broadcast(hubs), "dst", "left").select(
+            "src",
+            "dst",
+            "cw",
+            F.pmod(F.xxhash64("src"), F.coalesce("salt_mod", F.lit(1))).alias("salt"),
+        )
+    else:
+        norm = norm.select("src", "dst", "cw", F.lit(0).alias("salt"))
+    return norm.repartition(partitions, "src"), out_w.select(F.col("src").alias("vid")), has_hubs
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    weighted: bool = True,
+    personalization: DataFrame | None = None,
+    checkpoint: RunCheckpoint | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    salt_hub_threshold: int | None = 5_000,
+    salt_buckets: int = 16,
+    broadcast_state: bool | None = None,
+) -> PageRankResult:
+    """Run damped PageRank to L1 < ``tol`` or ``max_iter``.
+
+    Parameters mirror ``networkx.pagerank`` where they overlap (alpha,
+    personalization, weight handling, dangling mass distributed by the
+    teleport vector) so the t2 oracle comparison is apples-to-apples.
+
+    ``personalization``: optional (vid, mass) DataFrame — Verum's topic
+    seed set; normalized internally; missing vids get mass 0.
+    """
+    with iterative_conf(spark):
+        return _pagerank_loop(
+            spark, edges, vertices, alpha, tol, max_iter, weighted,
+            personalization, checkpoint, checkpoint_every, resume,
+            salt_hub_threshold, salt_buckets, broadcast_state,
+        )
+
+
+def _pagerank_loop(
+    spark, edges, vertices, alpha, tol, max_iter, weighted, personalization,
+    checkpoint, checkpoint_every, resume, salt_hub_threshold, salt_buckets,
+    broadcast_state,
+) -> PageRankResult:
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    norm, out_vids, has_hubs = _prepare_edges(
+        edges, weighted, salt_hub_threshold, salt_buckets, P
+    )
+    norm.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = norm.count()  # materialize the one-time edge shuffle
+
+    if vertices is None:
+        vids = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+    else:
+        vids = vertices.select("vid")
+
+    # Static per-vertex columns: teleport mass p (uniform -> null, filled by
+    # p_col) and the dangling flag (no out-edges).
+    if personalization is not None:
+        tot = personalization.agg(F.sum("mass")).collect()[0][0]
+        base = vids.join(personalization, "vid", "left").select(
+            "vid",
+            (F.coalesce(F.col("mass"), F.lit(0.0)) / F.lit(float(tot))).alias("p"),
+        )
+    else:
+        base = vids.select("vid", F.lit(None).cast("double").alias("p"))
+    base = base.join(
+        out_vids.withColumn("nd", F.lit(True)), "vid", "left"
+    ).select("vid", "p", F.coalesce(F.col("nd"), F.lit(False)).alias("out_ok"))
+    base = base.select(
+        "vid", "p", (~F.col("out_ok")).alias("dang")
+    ).repartition(P, "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    n = base.count()
+    if n == 0:
+        return PageRankResult(
+            vids.select("vid", F.lit(0.0).alias("value")), 0, True, 0.0
+        )
+    p_col = F.coalesce(F.col("p"), F.lit(1.0 / n))
+    if broadcast_state is None:
+        broadcast_state = n <= BROADCAST_STATE_MAX_V
+    bcast = F.broadcast if broadcast_state else (lambda df: df)
+
+    start_iter = 0
+    resumed_from = None
+    metrics: list[dict[str, Any]] = []
+    if resume and checkpoint is not None and checkpoint.latest() is not None:
+        start_iter = checkpoint.latest()
+        resumed_from = start_iter
+        prev = checkpoint.read(spark, start_iter).select("vid", "value")
+        ranks = base.join(bcast(prev), "vid").select(*STATE_COLS)
+        metrics = checkpoint.metrics_history()
+    else:
+        ranks = base.select("vid", "p", "dang", p_col.alias("value"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    # Dangling mass for the first loop iteration (one small job; afterwards
+    # it rides along in each iteration's Observation).
+    dangling = float(
+        ranks.agg(F.sum(F.when(F.col("dang"), F.col("value")))).collect()[0][0] or 0.0
+    )
+
+    converged = False
+    delta = float("inf")
+    it = start_iter
+    prev_cached = ranks
+    for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.monotonic()
+        # Gather: edges(src)⋈ranks(vid) -> sum per dst. With hubs present,
+        # an extra partial stage per (dst, salt) splits hot reducers first.
+        gathered = norm.join(
+            bcast(ranks.select(F.col("vid").alias("src"), "value")), "src"
+        )
+        if has_hubs:
+            contribs = (
+                gathered.groupBy("dst", "salt")
+                .agg(F.sum(F.col("cw") * F.col("value")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            contribs = gathered.groupBy("dst").agg(
+                F.sum(F.col("cw") * F.col("value")).alias("c")
+            )
+
+        new_ranks = (
+            ranks.withColumnRenamed("value", "old")
+            .join(bcast(contribs.withColumnRenamed("dst", "vid")), "vid", "left")
+            .select(
+                "vid",
+                "p",
+                "dang",
+                (
+                    (1.0 - alpha) * p_col
+                    + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
+                ).alias("value"),
+                F.abs(
+                    (1.0 - alpha) * p_col
+                    + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
+                    - F.col("old")
+                ).alias("diff"),
+            )
+        )
+        obs = Observation(f"pr_{it}")
+        staged = new_ranks.observe(
+            obs,
+            F.sum("diff").alias("delta"),
+            F.sum(F.when(F.col("dang"), F.col("value"))).alias("dang_mass"),
+        )
+
+        if checkpoint is not None and (it % checkpoint_every == 0):
+            checkpoint.write_data(staged, it)
+            vals = obs.get
+            delta = float(vals["delta"] or 0.0)
+            dangling = float(vals["dang_mass"] or 0.0)
+            wall = time.monotonic() - t0
+            m = _iter_metrics(it, delta, wall, n_edges, n)
+            metrics.append(m)
+            checkpoint.commit(it, m, list(staged.columns))
+            ranks = checkpoint.read(spark, it).select(*STATE_COLS)
+        else:
+            cached = staged.localCheckpoint(eager=True)
+            vals = obs.get
+            delta = float(vals["delta"] or 0.0)
+            dangling = float(vals["dang_mass"] or 0.0)
+            wall = time.monotonic() - t0
+            metrics.append(_iter_metrics(it, delta, wall, n_edges, n))
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = cached
+            ranks = cached.select(*STATE_COLS)
+
+        if delta < tol:
+            converged = True
+            break
+
+    norm.unpersist()
+    base.unpersist()
+    return PageRankResult(
+        ranks.select("vid", "value"), it, converged, delta, metrics, resumed_from
+    )
+
+
+def _iter_metrics(it: int, delta: float, wall: float, n_edges: int, n: int) -> dict:
+    return {
+        "iter": it,
+        "l1_delta": delta,
+        "wall_s": wall,
+        "edges_per_s": n_edges / wall if wall > 0 else None,
+        "n_edges": n_edges,
+        "n_vertices": n,
+    }

@@ -1,0 +1,139 @@
+"""Graph tables: schemas, dense vertex ids, CSR-like layout, hubs, salting.
+
+The engine's graph representation is a pair of immutable columnar tables
+(SURVEY.md §1.2) — the idiomatic Spark form of the reference's single
+in-memory ``networkx.MultiDiGraph`` [R verum/__init__.py, reconstructed]:
+
+    vertices(vid: long, name: string, vtype: string)
+    edges(src: long, dst: long, rel: string, weight: double)
+
+``name`` plays the role of Verum's ``uri`` node identity
+("class=attribute&key=ip&value=..." [R CAGS node helpers]) as ``vtype:value``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EDGE_RELS = ("repo_path", "path_lang", "repo_commit", "cooccur")
+
+
+def assign_vertex_ids(names: DataFrame) -> DataFrame:
+    """Dense, deterministic ``vid`` in 0..N-1 from a ``name`` column.
+
+    Uses ``row_number() over (order by name)`` — a single global sort, fully
+    deterministic at any parallelism (SURVEY.md §7.2). At 10^9+ vertices the
+    single-sort becomes the bottleneck; the documented scale-up alternative
+    keeps determinism without a global sort:
+
+        1. ``sortWithinPartitions`` after a range-partition on name,
+        2. per-partition counts -> prefix-sum offsets (driver-side, P values),
+        3. vid = offset[partition] + local row_number.
+
+    which is the same ordering, computed with one range shuffle instead of a
+    total sort into one ordering pass. Not needed at bench scale.
+    """
+    w = Window.orderBy("name")
+    return names.select("name").distinct().select(
+        (F.row_number().over(w) - 1).cast("long").alias("vid"),
+        F.col("name"),
+        F.split(F.col("name"), ":", 2).getItem(0).alias("vtype"),
+    )
+
+
+def encode_edges(name_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Replace string endpoints with dense long vids (two shuffle joins, once
+    per derivation — long-key joins are what every iteration then pays for,
+    SURVEY.md §4.3.3)."""
+    v = vertices.select("vid", "name")
+    return (
+        name_edges.join(v.withColumnRenamed("vid", "src"), name_edges.src_name == v.name)
+        .drop("name", "src_name")
+        .join(
+            v.withColumnRenamed("vid", "dst").withColumnRenamed("name", "dst_n"),
+            F.col("dst_name") == F.col("dst_n"),
+        )
+        .drop("dst_n", "dst_name")
+        .select("src", "dst", "rel", "weight")
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Weighted out-degree per source vertex: (vid, out_w, out_deg)."""
+    return edges.groupBy(F.col("src").alias("vid")).agg(
+        F.sum("weight").alias("out_w"), F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.sum("weight").alias("in_w"), F.count(F.lit(1)).alias("in_deg")
+    )
+
+
+def hub_vertices(edges: DataFrame, threshold: int = 10_000) -> DataFrame:
+    """Vertices whose in-degree exceeds ``threshold`` — the salting target
+    list (popular langs/commits, BASELINE.json north_star). Computed once at
+    derivation; tiny (O(#langs + #hot commits)), always broadcastable."""
+    return in_degrees(edges).filter(F.col("in_deg") > threshold).select("vid", "in_deg")
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected simple view: edges ∪ reversed, self-loops dropped,
+    parallel edges collapsed (weights summed). Used by CC/LPA/triangles."""
+    fwd = edges.select("src", "dst", "weight")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def scoring_projection(edges: DataFrame, reverse_damping: float = 0.5) -> DataFrame:
+    """Verum's multigraph->scoring-graph projection (SURVEY.md Table A S1,
+    [R plugins/networkx.py digraph projection, reconstructed]): collapse
+    parallel edges (sum weights) and add reverse edges at reduced weight so
+    relevance also flows against edge direction."""
+    collapsed = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    rev = collapsed.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (F.col("weight") * reverse_damping).alias("weight"),
+    )
+    return (
+        collapsed.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------- CSR layout
+
+
+def save_edges_csr(edges: DataFrame, path: str, buckets: int = 32) -> None:
+    """Persist edges in the CSR-like layout (BASELINE.json north_star):
+    hash-partitioned on src into ``buckets`` files, each sorted by
+    (src, dst) — src-sorted runs are the columnar analogue of CSR adjacency.
+
+    Why it matters at scale: every PageRank iteration joins edges⋈ranks on
+    src. With edges pre-bucketed by ``pmod(xxhash64(src), P)`` and re-read
+    from this layout, the per-iteration shuffle moves only the rank side
+    (O(V) rows), never the edge side (O(E)); Parquet min/max on the sorted
+    src column additionally gives rowgroup skipping for subgraph reads.
+    """
+    (
+        edges.withColumn("src_bucket", F.pmod(F.xxhash64("src"), F.lit(buckets)))
+        .repartition(buckets, "src_bucket")
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite")
+        .partitionBy("src_bucket")
+        .parquet(path)
+    )
+
+
+def load_edges_csr(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("src", "dst", "rel", "weight")
