@@ -128,7 +128,10 @@ def save_edges_csr(edges: DataFrame, path: str, buckets: int = 32) -> None:
     (
         edges.withColumn("src_bucket", F.pmod(F.xxhash64("src"), F.lit(buckets)))
         .repartition(buckets, "src_bucket")
-        .sortWithinPartitions("src", "dst")
+        # src_bucket leads the sort so the dynamic-partition writer's
+        # required ordering is already satisfied — otherwise it re-sorts by
+        # src_bucket alone (unstably) and destroys the (src, dst) runs.
+        .sortWithinPartitions("src_bucket", "src", "dst")
         .write.mode("overwrite")
         .partitionBy("src_bucket")
         .parquet(path)

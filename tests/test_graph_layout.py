@@ -1,0 +1,70 @@
+"""t1: CSR-like edge layout, scoring projection, degrees, hubs, report ops."""
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from engine.graph import (
+    hub_vertices,
+    load_edges_csr,
+    out_degrees,
+    save_edges_csr,
+    scoring_projection,
+    symmetrize,
+)
+from engine.report import top_k, top_k_per_type
+from tests.conftest import edges_df
+
+
+def test_csr_roundtrip_and_sorted_runs(spark, tiny_graph, tmp_path):
+    _, e = tiny_graph
+    path = str(tmp_path / "edges_csr")
+    save_edges_csr(e, path, buckets=4)
+    back = load_edges_csr(spark, path)
+    assert back.count() == e.count()
+    assert set(back.columns) == {"src", "dst", "rel", "weight"}
+    # bucket layout on disk
+    buckets = [d for d in os.listdir(path) if d.startswith("src_bucket=")]
+    assert len(buckets) == 4
+    # src-sorted runs inside each file (the CSR property)
+    f = next(
+        os.path.join(path, buckets[0], x)
+        for x in os.listdir(os.path.join(path, buckets[0]))
+        if x.endswith(".parquet")
+    )
+    t = pq.read_table(f, columns=["src", "dst"]).to_pydict()
+    pairs = list(zip(t["src"], t["dst"]))
+    assert pairs == sorted(pairs)
+
+
+def test_out_degrees_and_hubs(spark):
+    e = edges_df(spark, [(i, 0) for i in range(1, 9)] + [(0, 1)])
+    hubs = hub_vertices(e, threshold=5)
+    assert [r.vid for r in hubs.collect()] == [0]
+    od = {r.vid: r.out_deg for r in out_degrees(e).collect()}
+    assert od[1] == 1 and od[0] == 1
+
+
+def test_symmetrize_collapses_and_drops_loops(spark):
+    e = edges_df(spark, [(0, 1, 2.0), (1, 0, 1.0), (1, 1, 5.0)])
+    s = {(r.src, r.dst): r.weight for r in symmetrize(e).collect()}
+    assert s == {(0, 1): 3.0, (1, 0): 3.0}
+
+
+def test_scoring_projection_adds_damped_reverse(spark):
+    """Verum S1: reverse edges at half weight so relevance flows upstream."""
+    e = edges_df(spark, [(0, 1, 2.0)])
+    s = {(r.src, r.dst): r.weight for r in scoring_projection(e, 0.5).collect()}
+    assert s == {(0, 1): 2.0, (1, 0): 1.0}
+
+
+def test_top_k_report(spark, tiny_graph):
+    v, _ = tiny_graph
+    scores = v.select("vid", (F.col("vid") * 1.0).alias("value"))
+    t = top_k(scores, v, k=5).collect()
+    assert len(t) == 5
+    assert [r.vid for r in t] == sorted([r.vid for r in t], reverse=True)
+    per = top_k_per_type(scores, v, k=2)
+    counts = {r["vtype"]: r["n"] for r in per.groupBy("vtype").agg(F.count("*").alias("n")).collect()}
+    assert all(c <= 2 for c in counts.values())

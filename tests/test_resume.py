@@ -1,0 +1,132 @@
+"""t5: checkpoint / resume / determinism (BASELINE.json resumability)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from engine.algos.pagerank import pagerank
+from engine.io import MANIFEST, RunCheckpoint
+
+
+@pytest.fixture()
+def ckpt_base(tmp_path):
+    return str(tmp_path / "runs")
+
+
+def _vals(df):
+    return {r.vid: r.value for r in df.collect()}
+
+
+def test_resume_equals_uninterrupted(spark, tiny_graph, ckpt_base):
+    v, e = tiny_graph
+    # Fixed-iteration runs: equality of the resumed vs uninterrupted
+    # trajectory is the property; convergence depth is covered elsewhere.
+    full = RunCheckpoint(ckpt_base, "full")
+    r_full = pagerank(spark, e, vertices=v, tol=0.0, max_iter=12, checkpoint=full)
+
+    part = RunCheckpoint(ckpt_base, "part")
+    pagerank(spark, e, vertices=v, tol=0.0, max_iter=4, checkpoint=part)
+    assert part.latest() == 4
+    r_res = pagerank(
+        spark, e, vertices=v, tol=0.0, max_iter=12, checkpoint=part, resume=True
+    )
+    assert r_res.resumed_from == 4
+    assert r_res.iterations == r_full.iterations
+    a, b = _vals(r_full.ranks), _vals(r_res.ranks)
+    ks = sorted(a)
+    # Both runs read identical per-iteration parquet states, so the only
+    # divergence source is the reducer merge order of float partial sums
+    # within an iteration (~1e-17/iter, non-compounding past the next
+    # checkpoint round-trip). Usually bit-identical; assert to 1e-12 —
+    # six orders stricter than the 1e-6 parity target.
+    assert max(abs(a[k] - b[k]) for k in ks) < 1e-12
+
+
+def test_resume_ignores_uncommitted_iteration(spark, tiny_graph, ckpt_base):
+    """Simulated crash mid-iteration: state written, manifest missing ->
+    resume must restart from the last COMMITTED iteration."""
+    v, e = tiny_graph
+    ck = RunCheckpoint(ckpt_base, "crash")
+    pagerank(spark, e, vertices=v, tol=0.0, max_iter=3, checkpoint=ck)
+    assert ck.latest() == 3
+    # fake an uncommitted iter=4: copy state dir, no MANIFEST
+    src_dir = os.path.dirname(ck.state_path(3))
+    dst_dir = os.path.dirname(ck.state_path(4))
+    shutil.copytree(src_dir, dst_dir)
+    os.remove(os.path.join(dst_dir, MANIFEST))
+    assert ck.latest() == 3  # uncommitted iteration invisible
+    r = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=ck, resume=True)
+    assert r.resumed_from == 3
+
+
+def test_manifest_lineage_and_metrics(spark, tiny_graph, ckpt_base):
+    v, e = tiny_graph
+    ck = RunCheckpoint(ckpt_base, "meta")
+    pagerank(spark, e, vertices=v, tol=0.0, max_iter=2, checkpoint=ck)
+    m = ck.manifest(1)
+    assert m["iter"] == 1
+    assert m["partitions"] and all(
+        p["rows"] >= 0 and p["bytes"] > 0 for p in m["partitions"]
+    )
+    for key in ("l1_delta", "wall_s", "edges_per_s", "n_edges", "n_vertices"):
+        assert key in m["metrics"]
+    # history accessor
+    hist = ck.metrics_history()
+    assert [h["iter"] for h in hist] == [1, 2]
+
+
+_PAR_INVARIANCE_SCRIPT = r"""
+import sys
+import numpy as np
+from engine.datagen import source_files
+from engine.derive import build_graph
+from engine.session import get_spark
+from engine.algos.pagerank import pagerank
+
+ref = None
+for par in (2, 8):
+    s = get_spark(par, app_name=f"t5-par{par}", shuffle_partitions=par)
+    try:
+        src = source_files(s, 200, 10).cache()
+        src.count()
+        v, e = build_graph(src, log_dropped=False)
+        r = pagerank(s, e, vertices=v, tol=0.0, max_iter=12)
+        vals = {row.vid: row.value for row in r.ranks.collect()}
+    finally:
+        s.stop()
+    if ref is None:
+        ref = vals
+    else:
+        ks = sorted(ref)
+        assert set(vals) == set(ref)
+        d = max(abs(ref[k] - vals[k]) for k in ks)
+        print("MAXDIFF", d)
+        assert d < 1e-12, d
+print("PAR_INVARIANCE_OK")
+"""
+
+
+def test_parallelism_invariance():
+    """Same job at local[2] vs local[8] -> allclose 1e-12 (SURVEY §5.2 t5).
+    Runs in a subprocess: getOrCreate would otherwise reuse the suite's
+    shared local[8] context and ignore the master setting."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    # Strip the parent session's gateway vars: inherited, they would attach
+    # the subprocess to THIS JVM and silently reuse its local[8] master.
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PYSPARK_GATEWAY", "SPARK_CONNECT"))
+    }
+    env["PYTHONPATH"] = repo
+    out = subprocess.run(
+        [sys.executable, "-c", _PAR_INVARIANCE_SCRIPT],
+        capture_output=True, text=True, timeout=900, cwd=repo, env=env,
+    )
+    assert "PAR_INVARIANCE_OK" in out.stdout, out.stdout + out.stderr
