@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship slice: documents corpus (sf0.001) -> derive
+link graph -> PageRank -> top-20 report.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator from SURVEY.md §2
+Table B plus the training-data-pipeline operators (text/dedup/similarity/
+multimodal). Column names are aliased identically on both sides; float
+outputs are rounded on both sides; queries whose Spark-side hashing
+(xxhash64, SRP planes) has no DuckDB equivalent are registered without an
+oracle (rows-only check), exactly as the harness allows for
+non-SQL-expressible ops.
 """
 
 from __future__ import annotations
@@ -12,27 +17,642 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.datagen import documents_as_source
+from engine.derive import COOCCUR_CAP, build_graph, derive_name_edges
+from engine import dedup as D
+from engine import multimodal as M
+from engine import similarity as S
+from engine import text as T
+from engine.algos.cc import connected_components
+from engine.algos.lpa import label_propagation
+from engine.algos.pagerank import pagerank
+from engine.algos.query import context_query
+from engine.algos.triangles import triangles_per_vertex
+from engine.report import top_k
+
+# ---------------------------------------------------------------- helpers
+
+_GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Derived documents link graph, persisted once per sf_dir."""
+    if sf_dir not in _GRAPH_CACHE:
+        src = documents_as_source(spark, sf_dir)
+        v, e = build_graph(src, log_dropped=False)
+        v = v.persist()
+        e = e.persist()
+        v.count(), e.count()
+        _GRAPH_CACHE[sf_dir] = (v, e)
+    return _GRAPH_CACHE[sf_dir]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    v, e = _graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(spark, e, vertices=v, tol=1e-6, max_iter=40)
+    return top_k(res.ranks, v, k=20)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_projection(spark, sf):
+    return _tbl(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_filter(spark, sf):
+    li = _tbl(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def _q_sha256(spark, sf):
+    return _tbl(spark, sf, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def _q_split(spark, sf):
+    return _tbl(spark, sf, "orders").select(
+        "o_orderkey",
+        F.element_at(F.split(F.col("o_orderpriority"), "-"), 1).alias("prio_num"),
+    )
+
+
+def _q_concat(spark, sf):
+    return _tbl(spark, sf, "nation").select(
+        "n_nationkey", F.concat_ws(":", F.lit("nation"), F.col("n_name")).alias("uri")
+    )
+
+
+def _q_datemath(spark, sf):
+    return (
+        _tbl(spark, sf, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_json(spark, sf):
+    return (
+        _tbl(spark, sf, "events")
+        .select(F.get_json_object("props", "$.k").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_broadcast_join(spark, sf):
+    c = _tbl(spark, sf, "customer")
+    n = _tbl(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def _q_shuffle_join(spark, sf):
+    li = _tbl(spark, sf, "lineitem")
+    o = _tbl(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_semi_join(spark, sf):
+    c = _tbl(spark, sf, "customer")
+    o = _tbl(spark, sf, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey")
+
+
+def _q_anti_join(spark, sf):
+    o = _tbl(spark, sf, "orders")
+    li = _tbl(spark, sf, "lineitem")
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey")
+
+
+def _q_pricing_summary(spark, sf):
+    li = _tbl(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_minmax(spark, sf):
+    s = _tbl(spark, sf, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def _q_collect(spark, sf):
+    d = _tbl(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.size(F.sort_array(F.collect_set("source"))).alias("n_sources")
+    )
+
+
+def _q_cube(spark, sf):
+    d = _tbl(spark, sf, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_g"),
+            F.coalesce("source", F.lit("ALL")).alias("source_g"),
+            "n",
+        )
+    )
+
+
+def _q_row_number(spark, sf):
+    n = _tbl(spark, sf, "nation")
+    return n.select(
+        F.row_number().over(Window.orderBy("n_name")).alias("rn"), "n_name"
+    )
+
+
+def _q_rank_per_group(spark, sf):
+    c = _tbl(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("c_nationkey", "rk", "c_custkey")
+    )
+
+
+def _q_topk(spark, sf):
+    o = _tbl(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_rolling(spark, sf):
+    e = _tbl(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("roll_avg")
+    )
+
+
+def _q_union(spark, sf):
+    c = _tbl(spark, sf, "customer").select(
+        F.lit("c").alias("kind"), F.col("c_custkey").alias("key")
+    )
+    s = _tbl(spark, sf, "supplier").select(
+        F.lit("s").alias("kind"), F.col("s_suppkey").alias("key")
+    )
+    return c.unionByName(s)
+
+
+def _q_except(spark, sf):
+    c = _tbl(spark, sf, "customer").select(F.col("c_custkey").alias("key")).distinct()
+    s = _tbl(spark, sf, "supplier").select(F.col("s_suppkey").alias("key")).distinct()
+    return c.exceptAll(s)
+
+
+def _q_distinct(spark, sf):
+    return _tbl(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# -------- graph queries over the documents corpus (FIXTURES.md §3 mapping)
+
+def _q_g_edges(spark, sf):
+    src = documents_as_source(spark, sf)
+    return derive_name_edges(src, cooccur_cap=COOCCUR_CAP, log_dropped=False).select(
+        "src_name", "dst_name", "rel", "weight"
+    )
+
+
+def _q_g_vertices(spark, sf):
+    v, _ = _graph(spark, sf)
+    return v.select("vid", "name", "vtype")
+
+
+def _q_g_degrees(spark, sf):
+    e = _q_g_edges(spark, sf)
+    return e.groupBy("src_name").agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.round(F.sum("weight"), 2).alias("out_w"),
+    )
+
+
+def _q_g_pagerank_top(spark, sf):
+    v, e = _graph(spark, sf)
+    # rows-only harness check; deep-convergence parity is pytest t2's job —
+    # keep the per-round harness cost bounded.
+    res = pagerank(spark, e, vertices=v, tol=1e-5, max_iter=40)
+    return top_k(res.ranks, v, k=20).select("name", "vtype")
+
+
+def _q_g_cc_sizes(spark, sf):
+    v, e = _graph(spark, sf)
+    res = connected_components(spark, e, v)
+    return res.labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _q_g_lpa_sizes(spark, sf):
+    v, e = _graph(spark, sf)
+    res = label_propagation(spark, e, v, max_iter=20)
+    return res.labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _q_g_triangles(spark, sf):
+    _, e = _graph(spark, sf)
+    return triangles_per_vertex(spark, e).agg(
+        (F.sum("triangles") / 3).cast("long").alias("n_triangles")
+    )
+
+
+def _q_g_khop(spark, sf):
+    v, e = _graph(spark, sf)
+    topic = v.filter("vtype = 'repo'").orderBy("vid").limit(1).select("vid")
+    sub_v, _ = context_query(spark, v, e, topic, max_depth=2, dont_follow=("lang",))
+    return sub_v.select("name", "vtype", "depth")
+
+
+def _q_g_personalized_pr(spark, sf):
+    """Verum's topic-sensitive scoring: teleport mass on one repo's vertex."""
+    v, e = _graph(spark, sf)
+    topic = v.filter("vtype = 'repo'").orderBy("vid").limit(1).select(
+        "vid", F.lit(1.0).alias("mass")
+    )
+    res = pagerank(spark, e, vertices=v, tol=1e-5, max_iter=40, personalization=topic)
+    return top_k(res.ranks, v, k=20).select("name", "vtype")
+
+
+# -------- text / dedup / similarity / multimodal (training-data pipeline)
+
+def _q_t_tokens(spark, sf):
+    return T.token_counts(_tbl(spark, sf, "documents"))
+
+
+def _q_t_quality(spark, sf):
+    return T.quality_features(_tbl(spark, sf, "documents"))
+
+
+def _q_t_quality_score(spark, sf):
+    return T.quality_score(_tbl(spark, sf, "documents"))
+
+
+def _q_t_langid(spark, sf):
+    return T.lang_id(_tbl(spark, sf, "documents"))
+
+
+def _q_t_fingerprint(spark, sf):
+    return T.fingerprints(_tbl(spark, sf, "documents"))
+
+
+def _q_d_exact_groups(spark, sf):
+    return D.exact_dup_groups(_tbl(spark, sf, "documents"))
+
+
+def _q_d_exact_dedup(spark, sf):
+    return D.exact_dedup(_tbl(spark, sf, "documents")).select("doc_id", "lang", "source")
+
+
+def _q_d_minhash(spark, sf):
+    return D.minhash_candidates(_tbl(spark, sf, "documents"), k=16, bands=4)
+
+
+def _q_d_simhash(spark, sf):
+    return D.simhash_near_pairs(_tbl(spark, sf, "documents"), max_hamming=3)
+
+
+def _q_d_jaccard(spark, sf):
+    docs = _tbl(spark, sf, "documents")
+    cands = D.minhash_candidates(docs, k=16, bands=4).select("a", "b")
+    return D.ngram_jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
+
+
+def _q_s_ann_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+
+
+def _q_s_srp_topk(spark, sf):
+    emb = _tbl(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.srp_topk(emb, queries, k=5, dim=64).select("query_id", "rank", "neighbor_id")
+
+
+def _q_m_meta(spark, sf):
+    media = M.attach_binary(_tbl(spark, sf, "documents"))
+    return media.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def _q_m_summary(spark, sf):
+    return M.media_summary(M.attach_binary(_tbl(spark, sf, "documents")))
+
+
+def _q_m_decode(spark, sf):
+    media = M.attach_binary(_tbl(spark, sf, "documents"))
+    return M.decode_media(media, decoder=M.fake_decoder).select(
+        "doc_id", "width", "height", "n_frames"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # B.2 projection / filter / scalar functions
+        "p1_projection": _q_projection,
+        "p2_filter": _q_filter,
+        "f1_sha256": _q_sha256,
+        "f2_split": _q_split,
+        "f3_concat": _q_concat,
+        "f5_datemath": _q_datemath,
+        "f6_json": _q_json,
+        # B.3 joins
+        "j1_broadcast_join": _q_broadcast_join,
+        "j2_shuffle_join": _q_shuffle_join,
+        "j4_semi_join": _q_semi_join,
+        "j5_anti_join": _q_anti_join,
+        # B.4 aggregations
+        "a1_pricing_summary": _q_pricing_summary,
+        "a2_minmax": _q_minmax,
+        "a4_collect": _q_collect,
+        "a6_cube": _q_cube,
+        # B.5 windows / top-k
+        "w1_row_number": _q_row_number,
+        "w2_rank_per_group": _q_rank_per_group,
+        "w3_topk": _q_topk,
+        "w4_rolling": _q_rolling,
+        # B.6 set ops
+        "u1_union": _q_union,
+        "u2_except": _q_except,
+        "u3_distinct": _q_distinct,
+        # B.7 graph (documents corpus; iterative algos are rows-only)
+        "g1_edges": _q_g_edges,
+        "g2_vertices": _q_g_vertices,
+        "g3_degrees": _q_g_degrees,
+        "g4_pagerank_top": _q_g_pagerank_top,
+        "g5_cc_sizes": _q_g_cc_sizes,
+        "g6_lpa_sizes": _q_g_lpa_sizes,
+        "g7_triangles": _q_g_triangles,
+        "g8_khop": _q_g_khop,
+        "g9_personalized_pagerank": _q_g_personalized_pr,
+        # text analysis
+        "t1_tokens": _q_t_tokens,
+        "t2_quality": _q_t_quality,
+        "t3_quality_score": _q_t_quality_score,
+        "t4_langid": _q_t_langid,
+        "t5_fingerprint": _q_t_fingerprint,
+        # dedup
+        "d1_exact_groups": _q_d_exact_groups,
+        "d2_exact_dedup": _q_d_exact_dedup,
+        "d3_minhash_candidates": _q_d_minhash,
+        "d4_simhash_pairs": _q_d_simhash,
+        "d5_ngram_jaccard": _q_d_jaccard,
+        # similarity
+        "s1_ann_topk": _q_s_ann_topk,
+        "s2_srp_topk": _q_s_srp_topk,
+        # multimodal
+        "m1_media_meta": _q_m_meta,
+        "m2_media_summary": _q_m_summary,
+        "m3_decode_stub": _q_m_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    cap = COOCCUR_CAP
+    edges_sql = f"""
+        WITH structural AS (
+            SELECT DISTINCT 'repo:' || source AS src_name,
+                   'path:doc' || doc_id AS dst_name,
+                   'repo_path' AS rel, 1.0 AS weight
+            FROM documents
+            UNION ALL
+            SELECT DISTINCT 'path:doc' || doc_id, 'lang:' || lang,
+                   'path_lang', 1.0
+            FROM documents
+            UNION ALL
+            SELECT DISTINCT 'repo:' || source,
+                   'commit:' || substr(sha256('commit:' || source), 1, 40),
+                   'repo_commit', 1.0
+            FROM documents
+        ), dr AS (
+            SELECT DISTINCT sha256(text) AS h, source FROM documents
+        ), ok AS (
+            SELECT h FROM dr GROUP BY h
+            HAVING COUNT(*) BETWEEN 2 AND {cap}
+        ), cooccur AS (
+            SELECT 'repo:' || a.source AS src_name,
+                   'repo:' || b.source AS dst_name,
+                   'cooccur' AS rel,
+                   CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM dr a JOIN dr b USING (h) JOIN ok USING (h)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_name, dst_name, rel, weight FROM structural
+        UNION ALL
+        SELECT src_name, dst_name, rel, weight FROM cooccur
     """
-    return {}
+    return {
+        "p1_projection": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+        "p2_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_quantity > 45 AND l_returnflag = 'R'"
+        ),
+        "f1_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "f2_split": (
+            "SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_num "
+            "FROM orders"
+        ),
+        "f3_concat": (
+            "SELECT n_nationkey, 'nation' || ':' || n_name AS uri FROM nation"
+        ),
+        "f5_datemath": (
+            "SELECT year(o_orderdate) AS yr, round(sum(o_totalprice), 2) AS total, "
+            "count(*) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "f6_json": (
+            "SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n "
+            "FROM events GROUP BY 1"
+        ),
+        "j1_broadcast_join": (
+            "SELECT n_name, count(*) AS n_customers, "
+            "round(sum(c_acctbal), 2) AS total_bal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+        ),
+        "j2_shuffle_join": (
+            "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "j4_semi_join": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "j5_anti_join": (
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
+        ),
+        "a1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "round(avg(l_discount), 4) AS avg_disc, count(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY 1, 2"
+        ),
+        "a2_minmax": (
+            "SELECT s_nationkey, round(min(s_acctbal), 2) AS min_bal, "
+            "round(max(s_acctbal), 2) AS max_bal FROM supplier GROUP BY 1"
+        ),
+        "a4_collect": (
+            "SELECT lang, count(DISTINCT source) AS n_sources "
+            "FROM documents GROUP BY 1"
+        ),
+        "a6_cube": (
+            "SELECT coalesce(lang, 'ALL') AS lang_g, "
+            "coalesce(source, 'ALL') AS source_g, count(*) AS n "
+            "FROM documents GROUP BY CUBE (lang, source)"
+        ),
+        "w1_row_number": (
+            "SELECT row_number() OVER (ORDER BY n_name) AS rn, n_name FROM nation"
+        ),
+        "w2_rank_per_group": (
+            "SELECT c_nationkey, rk, c_custkey FROM ("
+            "SELECT c_nationkey, c_custkey, row_number() OVER ("
+            "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk "
+            "FROM customer) WHERE rk <= 2"
+        ),
+        "w3_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "w4_rolling": (
+            "SELECT event_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg FROM events"
+        ),
+        "u1_union": (
+            "SELECT 'c' AS kind, c_custkey AS key FROM customer "
+            "UNION ALL SELECT 's', s_suppkey FROM supplier"
+        ),
+        "u2_except": (
+            "SELECT DISTINCT c_custkey AS key FROM customer "
+            "EXCEPT SELECT DISTINCT s_suppkey AS key FROM supplier"
+        ),
+        "u3_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        # graph
+        "g1_edges": edges_sql,
+        "g2_vertices": f"""
+            WITH e AS ({edges_sql}), names AS (
+                SELECT src_name AS name FROM e
+                UNION SELECT dst_name FROM e
+            )
+            SELECT CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS vid,
+                   name, split_part(name, ':', 1) AS vtype
+            FROM names
+        """,
+        "g3_degrees": f"""
+            WITH e AS ({edges_sql})
+            SELECT src_name, count(*) AS out_deg,
+                   round(sum(weight), 2) AS out_w
+            FROM e GROUP BY 1
+        """,
+        # g4..g9: iterative algorithms — not SQL-expressible, rows-only.
+        # text
+        "t1_tokens": (
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "CAST(floor(length(text) / 4.0) AS BIGINT) + 1 AS bpe_upper "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "t2_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, "
+            "round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio, "
+            "round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text), 4) AS space_ratio, "
+            "round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_tok_len "
+            "FROM documents WHERE length(text) > 0"
+        ),
+        "t3_quality_score": (
+            "SELECT doc_id, round("
+            "0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)) "
+            "+ 0.3 * (least(length(text), 2000) / 2000.0) "
+            "+ 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))"
+            ", 4) AS quality FROM documents WHERE length(text) > 0"
+        ),
+        "t4_langid": (
+            "SELECT doc_id, CASE "
+            "WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en' "
+            "WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es' "
+            "WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 'de' "
+            "WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr' "
+            "ELSE 'other' END AS lang_pred FROM documents"
+        ),
+        "t5_fingerprint": (
+            "SELECT doc_id, substr(sha256("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp "
+            "FROM documents"
+        ),
+        # dedup (exact ones only; minhash/simhash need xxhash64/blake2b)
+        "d1_exact_groups": (
+            "SELECT sha256(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "d2_exact_dedup": (
+            "SELECT doc_id, lang, source FROM documents WHERE doc_id IN ("
+            "SELECT min(doc_id) FROM documents GROUP BY sha256(text))"
+        ),
+        # similarity: exact brute-force top-k is SQL-expressible (ids only —
+        # float cosine values are rounded differently across engines)
+        "s1_ann_topk": (
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank "
+            "FROM embeddings c, embeddings q "
+            "WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5"
+        ),
+        # multimodal metadata (payload checksum == sha256 of the utf-8 text)
+        "m1_media_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "sha256(text) AS checksum FROM documents"
+        ),
+        "m2_media_summary": (
+            "SELECT 'blob' AS kind, count(*) AS n_items, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+            "max(octet_length(encode(text))) AS max_bytes FROM documents"
+        ),
+    }

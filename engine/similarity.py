@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set, one
+  pass over the corpus, per-query top-k via TakeOrdered-style window. The
+  dot product is ``F.aggregate(F.zip_with(...))`` — pure JVM, no UDF.
+- ``srp_topk`` — the scale path: Signed Random Projection LSH. P
+  deterministic pseudo-random hyperplanes (seeded, generated driver-side as
+  literals) hash every vector to a P-bit bucket; candidates = vectors whose
+  bucket matches the query's in at least one band; exact re-rank only within
+  candidates. At 10^9 vectors this turns an O(N*Q) scan into O(N) bucketing
+  + O(candidates*Q) re-rank; the bucket distribution is balanced by
+  construction (random projections).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(col)))
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — exact top-k by cosine; ties break
+    by neighbor id for full determinism; the query itself is excluded."""
+    corpus = with_norm(emb, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("v"), F.col("_norm").alias("nv")
+    )
+    qs = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q"), F.col("_norm").alias("nq")
+    )
+    joined = corpus.crossJoin(F.broadcast(qs)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def srp_buckets(
+    emb: DataFrame, dim: int, n_planes: int = 16, bands: int = 4,
+    id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """(id, band, bkey) — one row per band; bkey packs that band's sign bits."""
+    planes = _planes(dim, n_planes, seed)
+    per_band = n_planes // bands
+    band_cols = []
+    for b in range(bands):
+        bits = None
+        for j in range(per_band):
+            p = planes[b * per_band + j]
+            plane_lit = F.array(*[F.lit(float(x)) for x in p])
+            bit = (_dot(F.col(emb_col), plane_lit) > 0).cast("long") * F.lit(2 ** j)
+            bits = bit if bits is None else bits + bit
+        band_cols.append(F.struct(F.lit(b).alias("band"), bits.alias("bkey")))
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bkey")
+
+
+def srp_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_planes: int = 16, bands: int = 4, id_col: str = "vec_id",
+    emb_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation + exact re-rank."""
+    cb = srp_buckets(emb, dim, n_planes, bands, id_col, emb_col, seed)
+    qb = srp_buckets(queries, dim, n_planes, bands, id_col, emb_col, seed).select(
+        F.col("id").alias("query_id"), "band", "bkey"
+    )
+    cand = (
+        cb.join(qb, ["band", "bkey"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = with_norm(emb, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("v"), F.col("_norm").alias("nv")
+    )
+    qs = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q"), F.col("_norm").alias("nq")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(corpus, "neighbor_id").join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
