@@ -1,0 +1,180 @@
+"""Per-round benchmark. Prints ONE JSON line on stdout.
+
+Headline: PageRank edges processed/sec/iteration on the repo->path->lang
+link graph derived from a bench-scale synthetic source corpus
+(BASELINE.json metric), plus derivation, CC/LPA/triangles, and a slice of
+the relational/dedup/ANN surface at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SPARK_GRAFT_BENCH_ROWS    synthetic corpus rows (default 2,000,000)
+  SPARK_GRAFT_BENCH_ITERS   pagerank iterations timed (default 12)
+
+The N-vs-4N scaling evidence is produced by tools/scaling_bench.py (run at
+local[8] and local[32] on identical input), recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.datagen import documents_as_source, source_files  # noqa: E402
+from engine.derive import build_graph, hash_invariant_violations  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+from engine.algos.cc import connected_components  # noqa: E402
+from engine.algos.lpa import label_propagation  # noqa: E402
+from engine.algos.pagerank import pagerank  # noqa: E402
+from engine.algos.triangles import triangle_count  # noqa: E402
+from engine import dedup as D  # noqa: E402
+from engine import similarity as S  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "12"))
+    repos = max(100, rows // 400)
+
+    spark = get_spark(cpus, app_name="verum-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.monotonic()
+    q: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # ---- 1. synthetic bench corpus (no content: structural graph only)
+    t0 = time.monotonic()
+    src = source_files(spark, rows, repos, with_content=False).persist()
+    n_src = src.count()
+    q["datagen"] = time.monotonic() - t0
+    log(f"datagen: {n_src} rows in {q['datagen']:.1f}s")
+
+    t0 = time.monotonic()
+    v, e = build_graph(src, include_cooccur=False)
+    v = v.persist()
+    e = e.persist()
+    n_v, n_e = v.count(), e.count()
+    q["derive_structural"] = time.monotonic() - t0
+    extra["graph"] = {"rows": n_src, "vertices": n_v, "edges": n_e}
+    log(f"graph: V={n_v} E={n_e} in {q['derive_structural']:.1f}s")
+
+    # ---- 2. PageRank throughput (the headline metric)
+    t0 = time.monotonic()
+    res = pagerank(spark, e, vertices=v, tol=1e-6, max_iter=iters)
+    q["pagerank"] = time.monotonic() - t0
+    iter_walls = [m["wall_s"] for m in res.metrics]
+    eps = [m["edges_per_s"] for m in res.metrics if m["edges_per_s"]]
+    extra["pagerank"] = {
+        "iterations": res.iterations,
+        "l1_delta": res.l1_delta,
+        "median_iter_s": sorted(iter_walls)[len(iter_walls) // 2],
+        "edges_per_sec_per_iter": sorted(eps)[len(eps) // 2],
+        "converged": res.converged,
+    }
+    log(f"pagerank: {res.iterations} iters, {extra['pagerank']['edges_per_sec_per_iter']:.0f} edges/s/iter")
+
+    # ---- 3. other graph algorithms
+    t0 = time.monotonic()
+    cc = connected_components(spark, e, v)
+    cc.labels.count()
+    q["connected_components"] = time.monotonic() - t0
+    extra["cc_rounds"] = cc.rounds
+
+    t0 = time.monotonic()
+    lp = label_propagation(spark, e, v, max_iter=5)
+    lp.labels.count()
+    q["label_propagation_5it"] = time.monotonic() - t0
+
+    src.unpersist()
+    v.unpersist()
+    e.unpersist()
+
+    # ---- 4. full derivation with content hashing (Arrow UDF path)
+    t0 = time.monotonic()
+    small = source_files(spark, min(rows, 200_000), max(50, repos // 10)).persist()
+    small.count()
+    viol = hash_invariant_violations(small)
+    v2, e2 = build_graph(small, include_cooccur=True, log_dropped=False)
+    e2 = e2.persist()
+    e2.count()
+    q["derive_full_hash_cooccur"] = time.monotonic() - t0
+    extra["hash_violations"] = viol
+    small.unpersist()
+    log(f"derive_full: {q['derive_full_hash_cooccur']:.1f}s, violations={viol}")
+
+    # triangles need the co-occurrence edges: the structural graph alone is
+    # tripartite (repo->path->lang) and has none by construction.
+    t0 = time.monotonic()
+    tc = triangle_count(spark, e2)
+    q["triangle_count"] = time.monotonic() - t0
+    extra["triangles"] = tc
+    e2.unpersist()
+    log(f"triangles: {tc} in {q['triangle_count']:.1f}s")
+
+    # ---- 5. driver-table slice at sf_dir
+    def timed(name, fn):
+        t = time.monotonic()
+        fn()
+        q[name] = time.monotonic() - t
+        log(f"{name}: {q[name]:.1f}s")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    timed(
+        "q1_pricing_summary",
+        lambda: li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "q2_join_agg",
+        lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .collect(),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    timed("q3_minhash_dedup", lambda: D.minhash_candidates(docs, k=16, bands=4).count())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    timed(
+        "q4_ann_topk",
+        lambda: S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).count(),
+    )
+    timed(
+        "q5_docs_graph",
+        lambda: build_graph(documents_as_source(spark, sf_dir), log_dropped=False)[1].count(),
+    )
+
+    total = time.monotonic() - t_all
+    out = {
+        "metric": "pagerank_edges_per_sec_per_iteration",
+        "value": round(extra["pagerank"]["edges_per_sec_per_iter"], 1),
+        "unit": "edges/sec",
+        "queries": {k: round(vv, 3) for k, vv in q.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_rows": rows,
+        "total_wall_sec": round(total, 1),
+        "detail": extra,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

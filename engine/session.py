@@ -58,7 +58,20 @@ def get_spark(
         # UI/retained-stage bookkeeping light.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Measured on this (virtualized) host: lazily-committed heap pages
+        # turned young GCs into 13-18 s page-fault storms (iteration walls
+        # swinging 4 s -> 60 s on identical work). Fixed-size pre-touched
+        # heap + ParallelGC gives flat ~7 s iterations at 10M edges.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GC_OPTS",
+                "-XX:+UseParallelGC -Xms{mem} -XX:+AlwaysPreTouch".format(
+                    mem=os.environ.get("SPARK_DRIVER_MEM", "16g")
+                ),
+            ),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
     )
     if extra:
