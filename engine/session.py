@@ -37,6 +37,8 @@ def get_spark(
     master = f"local[{parallelism}]" if parallelism else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = 2 * parallelism if parallelism else 32
+    cores = parallelism or (os.cpu_count() or 16)
+    heap = os.environ.get("SPARK_DRIVER_MEM", f"{max(16, 2 * cores)}g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -58,20 +60,22 @@ def get_spark(
         # UI/retained-stage bookkeeping light.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Measured on this (virtualized) host: lazily-committed heap pages
-        # turned young GCs into 13-18 s page-fault storms (iteration walls
-        # swinging 4 s -> 60 s on identical work). Fixed-size pre-touched
-        # heap + ParallelGC gives flat ~7 s iterations at 10M edges.
+        # Measured on this (virtualized) host (r1): lazily-committed heap
+        # pages turned young GCs into page-fault storms — pre-touched fixed
+        # heap fixes that. Measured r2: a 16g heap serving 32 executor
+        # threads throttles allocation (3.3 s/iter -> 2.1 s/iter at 10M
+        # edges when raised to 64g), so the heap SCALES WITH PARALLELISM:
+        # 2 GiB/core, floor 16g — the local-mode analogue of sizing
+        # spark.executor.memory per executor core count on a cluster.
+        # ParallelGC vs G1 measured equal here; ParallelGC kept.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GC_OPTS",
-                "-XX:+UseParallelGC -Xms{mem} -XX:+AlwaysPreTouch".format(
-                    mem=os.environ.get("SPARK_DRIVER_MEM", "16g")
-                ),
+                f"-XX:+UseParallelGC -Xms{heap} -XX:+AlwaysPreTouch",
             ),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", heap)
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
     )
     if extra:

@@ -85,6 +85,35 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", expr.alias("lang_pred"))
 
 
+def corpus_stats(docs: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Per-source corpus statistics with a sketched unique-content count —
+    the A5 ``approx_count_distinct`` surface (SURVEY.md Table B A5).
+
+    At 10^9+ docs an exact ``countDistinct`` of content hashes is a full
+    shuffle of every distinct hash; the HLL++ sketch is a fixed-size
+    partial-aggregable state per group, which is how a dedup-ratio metric is
+    actually computed at scale. The harness (a5) validates the sketch
+    against the exact count at small sf: ``approx_ok`` asserts the estimate
+    lands within 5x the configured rsd — HLL++ is deterministic for a fixed
+    input, so this is a stable, meaningful check, and the exact count is
+    value-verified against DuckDB.
+    """
+    h = F.sha2(F.col("text"), 256)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("exact_uniq"),
+        F.approx_count_distinct(h, rsd=rsd).alias("approx_uniq"),
+    ).select(
+        "source",
+        "n_docs",
+        "exact_uniq",
+        (
+            F.abs(F.col("approx_uniq") - F.col("exact_uniq"))
+            <= F.greatest(F.lit(1.0), F.lit(5 * rsd) * F.col("exact_uniq"))
+        ).alias("approx_ok"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """64-bit-ish document fingerprint: first 16 hex chars of sha256 over
     whitespace-normalized, lowercased text — stable under reflow, so it

@@ -103,3 +103,15 @@ def test_empty_graph(spark):
     vals = [r.value for r in res.ranks.collect()]
     assert len(vals) == 3
     assert np.allclose(vals, 1 / 3)
+
+
+def test_personalization_must_have_positive_mass(spark, tiny_graph):
+    """An empty or all-zero teleport vector must fail loudly, not emit NaNs
+    (ADVICE r1)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    v, e = tiny_graph
+    zero = v.select("vid", F.lit(0.0).alias("mass")).limit(3)
+    with _pytest.raises(ValueError, match="personalization mass"):
+        pagerank(spark, e, vertices=v, personalization=zero, max_iter=2)

@@ -130,3 +130,29 @@ def test_parallelism_invariance():
         capture_output=True, text=True, timeout=900, cwd=repo, env=env,
     )
     assert "PAR_INVARIANCE_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_hadoop_fs_backend_file_uri(spark, tiny_graph, tmp_path):
+    """The FS seam's Hadoop backend (used for hdfs:// / s3a:// on a cluster)
+    exercised through the Java LocalFileSystem via a file:// URI: manifest
+    write/read, lineage from footers, committed_iters, resume read."""
+    v, e = tiny_graph
+    base = f"file://{tmp_path}/runs"
+    ck = RunCheckpoint(base, "hfs", spark=spark)
+    r = pagerank(spark, e, vertices=v, tol=0.0, max_iter=3, checkpoint=ck)
+    assert ck.committed_iters() == [1, 2, 3]
+    man = ck.manifest(3)
+    assert man["iter"] == 3 and man["partitions"]
+    assert sum(p["rows"] for p in man["partitions"]) == v.count()
+    # resume through the same backend
+    ck2 = RunCheckpoint(base, "hfs", spark=spark)
+    r2 = pagerank(
+        spark, e, vertices=v, tol=0.0, max_iter=5, checkpoint=ck2, resume=True
+    )
+    assert r2.resumed_from == 3 and r2.iterations == 5
+    # trajectory identical to an uninterrupted local-backend run
+    ck3 = RunCheckpoint(str(tmp_path / "runs_local"), "plain")
+    r3 = pagerank(spark, e, vertices=v, tol=0.0, max_iter=5, checkpoint=ck3)
+    a, b = _vals(r2.ranks), _vals(r3.ranks)
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
