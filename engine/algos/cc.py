@@ -119,7 +119,9 @@ def _cc_loop(spark, edges, vertices, max_rounds):
     prev = _checksum(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e.unpersist()  # previous round's edge set is never read again
+        e = nxt
         cur = _checksum(e)
         if cur == prev:
             break

@@ -58,20 +58,27 @@ def label_propagation(
 
 
 def _lpa_loop(spark, edges, vertices, max_iter):
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))
             .unionByName(edges.select(F.col("dst").alias("vid")))
             .distinct()
         )
-    vids = vertices.select("vid").localCheckpoint(eager=True)
+    # vids partitioned by vid: the per-iteration update join then finds all
+    # three inputs (vids, best, labels) co-partitioned — zero exchanges.
+    vids = vertices.select("vid").repartition(P, "vid").localCheckpoint(eager=True)
 
-    # (a) undirected simple neighbor list as an edge table.
+    # (a) undirected simple neighbor list, partitioned ONCE by the join key
+    # v: the per-iteration vote join reshuffles neither the O(E) edge table
+    # nor the O(V) label state (labels stay hash(vid) and the vid->v rename
+    # preserves the partitioning through the projection).
     nbrs = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .repartition(P, "v")
         .localCheckpoint(eager=True)
     )
 

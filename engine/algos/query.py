@@ -47,6 +47,9 @@ def _query_loop(spark, vertices, edges, topic, max_depth, dont_follow):
 
     visited = topic.select("vid").distinct().withColumn("depth", F.lit(0))
     frontier = visited.select("vid")
+    # Checkpoints still readable by the NEXT round (frontier + visited);
+    # older ones are released as soon as their last consumer materializes.
+    live: list[DataFrame] = []
     for d in range(1, max_depth + 1):
         expandable = frontier.join(typed, "vid").filter(
             ~F.col("vtype").isin(list(dont_follow))
@@ -60,10 +63,18 @@ def _query_loop(spark, vertices, edges, topic, max_depth, dont_follow):
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # Both reads of the previous round's states are now materialized —
+        # release them (bounds cached state to 2 frames, not O(depth)).
+        for df in live:
+            df.unpersist()
+        live = [nxt, new_visited]
+        visited = new_visited
         frontier = nxt.select("vid")
 
+    nbrs.unpersist()  # only the loop reads it; results reference edges/visited
     sub_vertices = vertices.join(visited, "vid").select("vid", "name", "vtype", "depth")
     keep = visited.select("vid")
     sub_edges = (

@@ -182,14 +182,17 @@ def scoring_projection(edges: DataFrame, reverse_damping: float = 0.5) -> DataFr
 
 def save_edges_csr(edges: DataFrame, path: str, buckets: int = 32) -> None:
     """Persist edges in the CSR-like layout (BASELINE.json north_star):
-    hash-partitioned on src into ``buckets`` files, each sorted by
-    (src, dst) — src-sorted runs are the columnar analogue of CSR adjacency.
+    hash-partitioned on src into ``buckets`` directories, each file sorted
+    by (src, dst) — src-sorted runs are the columnar analogue of CSR
+    adjacency.
 
-    Why it matters at scale: every PageRank iteration joins edges⋈ranks on
-    src. With edges pre-bucketed by ``pmod(xxhash64(src), P)`` and re-read
-    from this layout, the per-iteration shuffle moves only the rank side
-    (O(V) rows), never the edge side (O(E)); Parquet min/max on the sorted
-    src column additionally gives rowgroup skipping for subgraph reads.
+    What this layout buys on re-read: Parquet min/max stats on the sorted
+    src column give rowgroup skipping for subgraph reads, and directory
+    pruning serves single-bucket scans. It does NOT carry hash-partitioning
+    metadata into the next session's query plans — ``partitionBy`` writes
+    directories, not a bucketed table — so joins over a re-read still
+    shuffle the edge side once. For the shuffle-free re-read guarantee use
+    :func:`save_edges_bucketed` (ADVICE r1).
     """
     (
         edges.withColumn("src_bucket", F.pmod(F.xxhash64("src"), F.lit(buckets)))
@@ -206,3 +209,29 @@ def save_edges_csr(edges: DataFrame, path: str, buckets: int = 32) -> None:
 
 def load_edges_csr(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("src", "dst", "rel", "weight")
+
+
+def save_edges_bucketed(
+    edges: DataFrame, table: str, buckets: int = 32
+) -> None:
+    """Persist edges as a BUCKETED table: ``bucketBy(src) + sortBy(src,dst)``.
+
+    Unlike the directory layout above, bucket metadata survives in the
+    catalog, so a re-read exposes ``HashPartitioning(src, buckets)`` to the
+    planner: ``groupBy(src)`` aggregations and equi-joins on src run with
+    NO exchange on the edge side — the per-iteration shuffle of a PageRank
+    loop then moves only the O(V) rank state, never the O(E) edges. Set
+    ``buckets`` equal to the loop's ``spark.sql.shuffle.partitions`` so the
+    rank side's hash partitioning lines up with the bucket count.
+    """
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(buckets, "src")
+        .sortBy("src", "dst")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_edges_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table).select("src", "dst", "rel", "weight")

@@ -77,6 +77,12 @@ def get_spark(
         )
         .config("spark.driver.memory", heap)
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+        # Bucketed tables (graph.save_edges_bucketed) need a warehouse;
+        # keep it out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/verum_spark_warehouse"),
+        )
     )
     if extra:
         for k, v in extra.items():

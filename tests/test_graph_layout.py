@@ -104,3 +104,43 @@ def test_scalable_vid_parallelism_invariant(spark, tiny_graph):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b
+
+
+def test_bucketed_table_no_edge_exchange(spark, tiny_graph):
+    """ADVICE r1: the zero-edge-shuffle claim must be REALIZED — a bucketed
+    (bucketBy src) table re-read exposes HashPartitioning(src), so
+    groupBy(src) and the PageRank prep run with no Exchange on the edge
+    side, and pagerank(edges_pre_partitioned=True) matches the plain run."""
+    import numpy as np
+    from engine.algos.pagerank import pagerank, _prepare_edges, iterative_conf
+    from engine.graph import load_edges_bucketed, save_edges_bucketed
+
+    v, e = tiny_graph
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    save_edges_bucketed(e, "edges_bucketed_test", buckets=P)
+    back = load_edges_bucketed(spark, "edges_bucketed_test")
+    assert back.count() == e.count()
+
+    # groupBy on the bucket column: no shuffle above the scan
+    plan = (
+        back.groupBy("src").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    # the whole _prepare_edges chain stays exchange-free on the edge side
+    with iterative_conf(spark):
+        norm, _, _ = _prepare_edges(back, True, None, 16, P, pre_partitioned=True)
+        nplan = norm._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in nplan, nplan
+
+    r_plain = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6)
+    r_bucket = pagerank(
+        spark, back, vertices=v, tol=0.0, max_iter=6, edges_pre_partitioned=True
+    )
+    a = {r.vid: r.value for r in r_plain.ranks.collect()}
+    b = {r.vid: r.value for r in r_bucket.ranks.collect()}
+    assert a.keys() == b.keys()
+    assert np.allclose(
+        [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12
+    )
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
