@@ -31,6 +31,7 @@ from engine.algos.lpa import label_propagation
 from engine.algos.pagerank import pagerank
 from engine.algos.query import context_query
 from engine.algos.triangles import triangles_per_vertex
+from engine.relational import asof_join
 from engine.report import top_k
 
 # ---------------------------------------------------------------- helpers
@@ -389,6 +390,29 @@ def _q_d_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
 
 
+def _q_j6_asof(spark, sf):
+    """J6: as-of join — each click matched to the user's latest prior view.
+
+    Spark side is the merge-join window formulation (engine/relational.py);
+    the oracle is DuckDB's native ASOF LEFT JOIN, so the semantics
+    (backward, inclusive, per-key) are value-verified, not just row-counted.
+    """
+    ev = _tbl(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(clicks, views, on="ts", by=["user_id"], right_cols=["event_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("view_event_id"),
+        F.expr("timestampdiff(MICROSECOND, ts_r, ts)").alias("us_since_view"),
+    )
+
+
 def _q_a_approx_distinct(spark, sf):
     """A5: HLL++ sketched unique-content counts per source (corpus stats)."""
     return T.corpus_stats(_tbl(spark, sf, "documents"))
@@ -440,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_shuffle_join": _q_shuffle_join,
         "j4_semi_join": _q_semi_join,
         "j5_anti_join": _q_anti_join,
+        "j6_asof_join": _q_j6_asof,
         # B.4 aggregations
         "a1_pricing_summary": _q_pricing_summary,
         "a2_minmax": _q_minmax,
@@ -560,6 +585,13 @@ def oracle_sql() -> dict[str, str]:
         "j5_anti_join": (
             "SELECT o_orderkey FROM orders "
             "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
+        ),
+        "j6_asof_join": (
+            "SELECT c.event_id, c.user_id, v.event_id AS view_event_id, "
+            "datediff('microsecond', v.ts, c.ts) AS us_since_view "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts"
         ),
         "a1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

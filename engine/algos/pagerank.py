@@ -45,6 +45,7 @@ Scale design (the parts that must survive 10^12 edges):
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -337,6 +338,10 @@ def _pagerank_loop(
             F.sum(F.when(F.col("dang"), F.col("value"))).alias("dang_mass"),
         ).select(*STATE_COLS)
 
+        if it == start_iter + 1 and os.environ.get("VERUM_EXPLAIN"):
+            print(f"=== pagerank iteration plan (it={it}) ===", flush=True)
+            staged.explain("formatted")
+
         if checkpoint is not None and (it % checkpoint_every == 0):
             checkpoint.write_data(staged, it)
             vals = obs.get
@@ -379,7 +384,7 @@ def _pagerank_loop(
 
 
 def _iter_metrics(it: int, delta: float, wall: float, n_edges: int, n: int) -> dict:
-    return {
+    m = {
         "iter": it,
         "l1_delta": delta,
         "wall_s": wall,
@@ -387,3 +392,26 @@ def _iter_metrics(it: int, delta: float, wall: float, n_edges: int, n: int) -> d
         "n_edges": n_edges,
         "n_vertices": n,
     }
+    if os.environ.get("VERUM_ITER_STATS"):
+        m.update(_env_stats())
+    return m
+
+
+def _env_stats() -> dict:
+    """GC-total + host-steal snapshot (diagnostic; VERUM_ITER_STATS=1)."""
+    out: dict[str, float] = {}
+    try:
+        spark = SparkSession.getActiveSession()
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        out["gc_total_ms"] = sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+    except Exception:
+        pass
+    try:
+        f = open("/proc/stat").readline().split()
+        out["steal_ticks"] = int(f[8])
+        out["cpu_ticks"] = sum(int(x) for x in f[1:])
+    except Exception:
+        pass
+    return out

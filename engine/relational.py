@@ -1,0 +1,111 @@
+"""As-of (point-in-time) join — SURVEY.md §2 Table B op J6.
+
+The reference needs no as-of semantics (SURVEY marks J6 out of scope), but
+a complete engine surface ships it: it is THE join shape for event-stream
+enrichment ("state as of this event's timestamp") and the one relational
+operator Spark lacks as a builtin.
+
+Spark-first design — no per-row Python, no broadcast requirement:
+
+    union(tagged left, tagged right)
+      -> ONE shuffle on the by-keys
+      -> ONE within-partition sort on (time, side-tag)
+      -> running ``last(value, ignorenulls)`` window carries the most
+         recent right-side payload forward onto each left row
+      -> filter back to left rows
+
+All right-side payload columns ride the SAME window spec, so Catalyst
+plans a single Window node over a single sort — the whole join is one
+exchange + one sort regardless of how many columns are carried. This is
+the merge-join formulation of as-of (the same plan pandas.merge_asof and
+kdb's aj use), and it scales exactly like any keyed window: partitions are
+bounded by the per-key event volume, hot keys can be salted upstream.
+
+Tie semantics match DuckDB/pandas backward as-of: a right row at exactly
+the left timestamp matches (``>=``); among equal right timestamps the last
+by sort order wins (deterministic given a unique right-side column in
+``order_tiebreak``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LEFT_TAG = "__asof_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: for each left row, the most recent right row with
+    ``right.on <= left.on`` (direction="backward"; "forward" flips to the
+    nearest ``right.on >= left.on``), matching within ``by`` groups.
+
+    Parameters
+    ----------
+    on: ordering column name, present in both sides (timestamp or numeric).
+    by: equality keys (the shuffle keys). None means a single global
+        timeline — valid, but forces one partition; prefer keys at scale.
+    right_cols: right payload columns to carry (default: all non-key,
+        non-``on`` columns). Each lands as ``col + suffix``; the matched
+        right timestamp is always carried as ``on + suffix``.
+    tolerance_seconds: if set, matches further than this from the left
+        timestamp are nulled out (pandas ``merge_asof(tolerance=...)``).
+    order_tiebreak: optional right-side column appended to the sort for
+        deterministic choice among equal-timestamp right rows.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    out_cols = [c + suffix for c in right_cols] + [on + suffix]
+
+    r = right.select(
+        *by,
+        F.col(on),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.col(on).alias(on + suffix),
+        F.lit(0).alias(_LEFT_TAG),
+    )
+    if order_tiebreak is not None:
+        r = r.withColumn("__asof_tb", F.col(order_tiebreak + suffix))
+    l = left.withColumn(_LEFT_TAG, F.lit(1))
+    if order_tiebreak is not None:
+        l = l.withColumn("__asof_tb", F.lit(None).cast(r.schema["__asof_tb"].dataType))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    time_ord = F.col(on).asc() if asc else F.col(on).desc()
+    # Right rows sort before left rows at equal timestamps, so an exact-
+    # timestamp right row is visible to the left row (inclusive >= / <=).
+    order = [time_ord, F.col(_LEFT_TAG).asc()]
+    if order_tiebreak is not None:
+        order.insert(1, F.col("__asof_tb").asc_nulls_last())
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        if by
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    for c in out_cols:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+
+    out = u.filter(F.col(_LEFT_TAG) == 1).drop(_LEFT_TAG, "__asof_tb")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(on).cast("double") - F.col(on + suffix).cast("double")
+        )
+        keep = gap <= F.lit(float(tolerance_seconds))
+        for c in out_cols:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out

@@ -12,6 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """tmpfs scratch when available (see spark.local.dir comment below)."""
+    shm = "/dev/shm/verum_spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     parallelism: int | None = None,
     app_name: str = "verum-spark",
@@ -38,7 +48,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 2 * parallelism if parallelism else 32
     cores = parallelism or (os.cpu_count() or 16)
-    heap = os.environ.get("SPARK_DRIVER_MEM", f"{max(16, 2 * cores)}g")
+    heap = os.environ.get("SPARK_DRIVER_MEM", f"{min(64, max(4, 4 * cores))}g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -60,23 +70,34 @@ def get_spark(
         # UI/retained-stage bookkeeping light.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Measured on this (virtualized) host (r1): lazily-committed heap
-        # pages turned young GCs into page-fault storms — pre-touched fixed
-        # heap fixes that. Measured r2: a 16g heap serving 32 executor
-        # threads throttles allocation (3.3 s/iter -> 2.1 s/iter at 10M
-        # edges when raised to 64g), so the heap SCALES WITH PARALLELISM:
-        # 2 GiB/core, floor 16g — the local-mode analogue of sizing
-        # spark.executor.memory per executor core count on a cluster.
-        # ParallelGC vs G1 measured equal here; ParallelGC kept.
+        # Measured on this (virtualized) host (r1/r2):
+        # - Lazily-committed heap pages turn young GCs into page-fault
+        #   storms (r1) — ``-Xms=heap -XX:+AlwaysPreTouch`` is mandatory
+        #   with EITHER collector (G1 without pretouch: 527s of sys time
+        #   in a 6-iteration run).
+        # - Heap scales with parallelism (4 GiB/core, cap 64g): cluster
+        #   memory scales with cluster size, and a fixed heap mis-measures
+        #   both ends — 16g at 32 threads throttles allocation, 16g at 2
+        #   pinned cores gives 2 GC threads a huge young gen (8-35s pauses,
+        #   event-log data). Heap and GC threads must scale TOGETHER.
+        # - G1 vs ParallelGC, both pre-touched, 41M-edge loop at 32g:
+        #   G1 8.3s total GC vs ParallelGC 39.7s (old-gen churn from
+        #   per-iteration cached state is G1's home turf). G1 kept.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GC_OPTS",
-                f"-XX:+UseParallelGC -Xms{heap} -XX:+AlwaysPreTouch",
+                f"-XX:+UseG1GC -Xms{heap} -XX:+AlwaysPreTouch",
             ),
         )
         .config("spark.driver.memory", heap)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+        # Shuffle files / spills / block-manager disk store. This VM's /tmp
+        # sits on a virtualized disk (virtio) with erratic latency — the
+        # r2 24M-row runs showed identical iterations swinging 7s..28s from
+        # IO weather alone. A real cluster node serves spark.local.dir from
+        # local NVMe; tmpfs is the local-mode analogue (and the shuffle
+        # volume per iteration is bounded: one exchange, ~4 bytes/edge).
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _local_dir()))
         # Bucketed tables (graph.save_edges_bucketed) need a warehouse;
         # keep it out of the repo tree.
         .config(

@@ -1,0 +1,99 @@
+"""t2: as-of join (SURVEY §2 Table B J6) vs a pandas merge_asof oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine.relational import asof_join
+
+LEFT = [
+    # (id, key, t)
+    (1, "a", 10.0),
+    (2, "a", 25.0),
+    (3, "a", 30.0),  # exact-timestamp match (inclusive)
+    (4, "b", 5.0),   # before any right row -> null
+    (5, "b", 100.0),
+    (6, "c", 50.0),  # key with no right rows at all -> null
+]
+RIGHT = [
+    # (rid, key, t, px)
+    (101, "a", 8.0, 1.5),
+    (102, "a", 20.0, 2.5),
+    (103, "a", 30.0, 3.5),
+    (104, "b", 7.0, 4.5),
+    (105, "b", 99.0, 5.5),
+]
+
+
+def _frames(spark):
+    l = spark.createDataFrame(LEFT, "id long, key string, t double")
+    r = spark.createDataFrame(RIGHT, "rid long, key string, t double, px double")
+    return l, r
+
+
+def _oracle(direction="backward", tolerance=None):
+    lp = pd.DataFrame(LEFT, columns=["id", "key", "t"]).sort_values("t")
+    rp = pd.DataFrame(RIGHT, columns=["rid", "key", "t", "px"]).sort_values("t")
+    m = pd.merge_asof(
+        lp, rp, on="t", by="key", direction=direction,
+        suffixes=("", "_r"), tolerance=tolerance,
+    )
+    out = {}
+    for row in m.itertuples(index=False):
+        rid = None if pd.isna(row.rid) else int(row.rid)
+        px = None if pd.isna(row.px) else float(row.px)
+        out[int(row.id)] = (rid, px)
+    return out
+
+
+def _ours(df):
+    return {
+        r.id: (r.rid_r, r.px_r)
+        for r in df.select("id", "rid_r", "px_r").collect()
+    }
+
+
+def test_backward_inclusive_matches_merge_asof(spark):
+    l, r = _frames(spark)
+    got = _ours(asof_join(l, r, on="t", by=["key"], right_cols=["rid", "px"]))
+    assert got == _oracle("backward")
+
+
+def test_forward_direction(spark):
+    l, r = _frames(spark)
+    got = _ours(
+        asof_join(l, r, on="t", by=["key"], right_cols=["rid", "px"],
+                  direction="forward")
+    )
+    assert got == _oracle("forward")
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    l, r = _frames(spark)
+    got = _ours(
+        asof_join(l, r, on="t", by=["key"], right_cols=["rid", "px"],
+                  tolerance_seconds=6.0)
+    )
+    assert got == _oracle("backward", tolerance=6.0)
+    # id=2 (t=25) matched rid=102 (t=20) at gap 5 <= 6: survives;
+    # id=5 (t=100) gap 1: survives; id=1 gap 2: survives -> spot check one
+    assert got[2] == (102, 2.5)
+
+
+def test_matched_timestamp_column_carried(spark):
+    l, r = _frames(spark)
+    j = asof_join(l, r, on="t", by=["key"], right_cols=["px"])
+    row = {x.id: x.t_r for x in j.collect()}
+    assert row[3] == 30.0  # inclusive equal-timestamp match
+    assert row[4] is None
+
+
+def test_plan_has_single_exchange_and_sort(spark):
+    """Scale shape: the whole as-of join is one shuffle + one sort + one
+    Window regardless of carried-column count."""
+    l, r = _frames(spark)
+    j = asof_join(l, r, on="t", by=["key"], right_cols=["rid", "px"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides coalesce
+    assert plan.count("Window") == 1
