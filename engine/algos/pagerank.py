@@ -190,6 +190,46 @@ def pagerank(
         )
 
 
+def _gather_update(norm, ranks, p_col, alpha, dangling, has_hubs, bcast):
+    """ONE synchronous PageRank update as a DataFrame expression:
+    gather edges(src)⋈ranks -> per-dst contribution sum (hub-salted partial
+    stage when hubs are present) -> damped update joined back onto the
+    state. Returns (vid, p, dang, value, diff); shared by the main loop and
+    mid-iteration salvage so both compute bit-identical states."""
+    gathered = norm.join(
+        bcast(ranks.select(F.col("vid").alias("src"), "value")), "src"
+    )
+    if has_hubs:
+        contribs = (
+            gathered.groupBy("dst", "salt")
+            .agg(F.sum(F.col("cw") * F.col("value")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        contribs = gathered.groupBy("dst").agg(
+            F.sum(F.col("cw") * F.col("value")).alias("c")
+        )
+    return (
+        ranks.withColumnRenamed("value", "old")
+        .join(bcast(contribs.withColumnRenamed("dst", "vid")), "vid", "left")
+        .select(
+            "vid",
+            "p",
+            "dang",
+            (
+                (1.0 - alpha) * p_col
+                + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
+            ).alias("value"),
+            F.abs(
+                (1.0 - alpha) * p_col
+                + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
+                - F.col("old")
+            ).alias("diff"),
+        )
+    )
+
+
 def _pagerank_loop(
     spark, edges, vertices, alpha, tol, max_iter, weighted, personalization,
     checkpoint, checkpoint_every, resume, salt_hub_threshold, salt_buckets,
@@ -289,44 +329,56 @@ def _pagerank_loop(
 
     converged = False
     delta = float("inf")
+
+    # ---- mid-iteration salvage (north rule): a crash DURING iteration
+    # start_iter+1's state write left a staging marker and a subset of its
+    # hash(vid)-partitioned files. Recompute ONLY the missing hash
+    # partitions — the update is filtered on pmod(hash(vid), P) so the
+    # gather/agg shuffle carries just the missing share of the state — then
+    # seal the iteration and continue the loop from it.
+    if resume and checkpoint is not None and resumed_from is not None:
+        it_s = start_iter + 1
+        sal = checkpoint.staging_info(it_s)
+        if sal is not None:
+            done = checkpoint.staged_partitions(it_s)
+            p_s = int(sal["n_partitions"])
+            missing = sorted(set(range(p_s)) - set(done))
+            if missing:
+                new_full = _gather_update(
+                    norm, ranks, p_col, alpha, dangling, has_hubs, bcast
+                ).select(*STATE_COLS)
+                part = F.pmod(F.hash("vid"), F.lit(p_s))
+                new_full.filter(part.isin(missing)).repartition(
+                    p_s, "vid"
+                ).write.mode("append").parquet(checkpoint.state_path(it_s))
+            state = checkpoint.read(spark, it_s).select(*STATE_COLS)
+            row = (
+                state.withColumnRenamed("value", "nv")
+                .join(ranks.select("vid", "value"), "vid")
+                .agg(
+                    F.sum(F.abs(F.col("nv") - F.col("value"))).alias("delta"),
+                    F.sum(F.when(F.col("dang"), F.col("nv"))).alias("dm"),
+                )
+                .collect()[0]
+            )
+            delta = float(row["delta"] or 0.0)
+            dangling = float(row["dm"] or 0.0)
+            m = _iter_metrics(it_s, delta, 0.0, n_edges, n)
+            m["salvaged_partitions"] = len(missing)
+            metrics.append(m)
+            checkpoint.commit(it_s, m, list(state.columns))
+            start_iter = it_s
+            ranks = state
+            if delta < tol:
+                converged = True
+
     it = start_iter
     prev_cached = ranks
-    for it in range(start_iter + 1, max_iter + 1):
+    loop_start = (max_iter + 1) if converged else (start_iter + 1)
+    for it in range(loop_start, max_iter + 1):
         t0 = time.monotonic()
-        # Gather: edges(src)⋈ranks(vid) -> sum per dst. With hubs present,
-        # an extra partial stage per (dst, salt) splits hot reducers first.
-        gathered = norm.join(
-            bcast(ranks.select(F.col("vid").alias("src"), "value")), "src"
-        )
-        if has_hubs:
-            contribs = (
-                gathered.groupBy("dst", "salt")
-                .agg(F.sum(F.col("cw") * F.col("value")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("c"))
-            )
-        else:
-            contribs = gathered.groupBy("dst").agg(
-                F.sum(F.col("cw") * F.col("value")).alias("c")
-            )
-
-        new_ranks = (
-            ranks.withColumnRenamed("value", "old")
-            .join(bcast(contribs.withColumnRenamed("dst", "vid")), "vid", "left")
-            .select(
-                "vid",
-                "p",
-                "dang",
-                (
-                    (1.0 - alpha) * p_col
-                    + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
-                ).alias("value"),
-                F.abs(
-                    (1.0 - alpha) * p_col
-                    + alpha * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling * p_col)
-                    - F.col("old")
-                ).alias("diff"),
-            )
+        new_ranks = _gather_update(
+            norm, ranks, p_col, alpha, dangling, has_hubs, bcast
         )
         obs = Observation(f"pr_{it}")
         # Observe BELOW the slimming select: the delta/dangling metrics ride
@@ -343,7 +395,14 @@ def _pagerank_loop(
             staged.explain("formatted")
 
         if checkpoint is not None and (it % checkpoint_every == 0):
-            checkpoint.write_data(staged, it)
+            # Stage marker + hash(vid) alignment: the explicit repartition
+            # pins file part-index == pmod(hash(vid), P) so a crash between
+            # here and commit() is recoverable per-partition (salvage
+            # above). In shuffled-state mode the update join already left
+            # the rows hash(vid)-partitioned, so the exchange collapses; in
+            # broadcast-state mode it moves only the O(V) state.
+            checkpoint.stage_marker(it, P)
+            checkpoint.write_data(staged.repartition(P, "vid"), it)
             vals = obs.get
             delta = float(vals["delta"] or 0.0)
             dangling = float(vals["dang_mass"] or 0.0)

@@ -18,6 +18,14 @@ Scale notes (the designs assume 10^9+ documents):
   semi-join, so no reducer ever materializes a mega-bucket id list.
 - n-gram Jaccard: exact verify step for candidate pairs (shared-shingle
   count / union) — run on LSH candidates, never all-pairs.
+- Portable hashing (``portable=True``): every hash in MinHash/SimHash can be
+  swapped from xxhash64 to an md5-derived 60-bit integer that ANY engine can
+  reproduce in plain SQL (``CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)``)
+  — the driver's DuckDB oracle then value-verifies the full LSH pipeline
+  (buckets, caps, pairs, estimates), not just row counts. The algorithm is
+  bit-identical in structure; only the hash family changes. Default stays
+  xxhash64 (one JVM codegen'd instruction stream vs md5's digest loop) for
+  the 100 TB path.
 """
 
 from __future__ import annotations
@@ -30,6 +38,20 @@ from pyspark.sql import functions as F
 log = logging.getLogger("verum_spark.dedup")
 
 BUCKET_CAP = 64  # max docs per LSH bucket before the bucket is dropped
+
+
+def _h64(col, seed: int | None = None, portable: bool = False):
+    """64-bit hash of a string column.
+
+    xxhash64 (default) is the JVM-side fast path. The portable family is the
+    first 60 bits of md5 as a positive BIGINT — expressible identically in
+    DuckDB/Trino/BigQuery SQL, which is what makes the LSH operators
+    value-verifiable by the driver's cross-engine oracle. Seeding prepends
+    ``"{seed}:"`` (portable) or uses xxhash64's native seed argument."""
+    if not portable:
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -69,11 +91,15 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return base.select("doc_id", F.explode(sh).alias("sh")).distinct()
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k seeded-xxhash64 min-hashes over shingles.
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, shingle_n: int = 3, portable: bool = False
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k seeded min-hashes over shingles.
     One partial-aggregable groupBy; K is a column count, not a row blowup."""
     sh = _shingles(docs, shingle_n)
-    aggs = [F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(k)]
+    aggs = [
+        F.min(_h64(F.col("sh"), s, portable)).alias(f"h{s}") for s in range(k)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -109,23 +135,28 @@ def _bucket_pairs(
 def minhash_candidates(
     docs: DataFrame, k: int = 16, bands: int = 4, shingle_n: int = 3,
     bucket_cap: int = BUCKET_CAP, log_dropped: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(a, b, est_jaccard) candidate near-dup pairs from banded MinHash.
 
     est_jaccard = fraction of matching signature components (unbiased
     MinHash estimate). Buckets above ``bucket_cap`` are dropped and counted
     — same no-silent-caps policy as co-occurrence derivation.
+    ``portable=True`` swaps every hash to the md5 family so the whole
+    pipeline is reproducible in the driver's DuckDB oracle (d3).
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k, shingle_n).persist()
+    sig = minhash_signatures(docs, k, shingle_n, portable).persist()
     sig_cols = [f"h{i}" for i in range(k)]
 
     band_exprs = []
     for b in range(bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_exprs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("key"))
-        )
+        if portable:
+            key = _h64(F.concat_ws("|", *cols), None, True)
+        else:
+            key = F.xxhash64(*cols)
+        band_exprs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     buckets = sig.select(
         F.col("doc_id").alias("id"), F.explode(F.array(*band_exprs)).alias("bk")
     ).select("id", "bk.band", "bk.key")
@@ -142,18 +173,23 @@ def minhash_candidates(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit Charikar SimHash, entirely JVM-side.
+def simhash_signatures(docs: DataFrame, portable: bool = False) -> DataFrame:
+    """(doc_id, simhash) — Charikar SimHash, entirely JVM-side.
 
-    explode tokens -> xxhash64(token) -> per-bit +/-1 vote sums (64 sum
-    aggregates in ONE partial-aggregable groupBy — map-side combine bounds
-    hot docs) -> sign -> repack via shiftleft/bitwiseOR. Token multiplicity
-    votes (classic formulation); empty/whitespace-only docs get signature 0.
-    No Python executes per row (VERDICT r1 item 4)."""
+    explode tokens -> hash(token) -> per-bit +/-1 vote sums (one sum
+    aggregate per bit in ONE partial-aggregable groupBy — map-side combine
+    bounds hot docs) -> sign -> repack via shiftleft/bitwiseOR. Token
+    multiplicity votes (classic formulation); empty/whitespace-only docs get
+    signature 0. No Python executes per row (VERDICT r1 item 4).
+
+    Default: 64-bit xxhash64. ``portable=True``: 60-bit md5-derived hash
+    (same family DuckDB can compute), so signatures — and everything
+    downstream — are cross-engine verifiable."""
+    n_bits = 60 if portable else 64
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select("doc_id", _h64(F.col("tok"), None, portable).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -161,11 +197,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                 .bitwiseAND(F.lit(1))
                 .cast("int") * 2 - 1
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sig = sig.bitwiseOR(
             F.shiftleft(
                 F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
@@ -183,21 +219,25 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3,
     bucket_cap: int = BUCKET_CAP, log_dropped: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(simhash) <= max_hamming, found via
-    the 4x16-bit band pigeonhole (distance <=3 -> at least one band equal).
+    the 4-band pigeonhole (distance <=3 -> at least one band equal; bands
+    are 16 bits, or 15 with the portable 60-bit signature).
 
-    The 16-bit key space is only 65,536 — at 10^9 docs a band bucket holds
-    ~15k docs and an uncapped self-join is quadratic per bucket, so buckets
-    above ``bucket_cap`` are dropped, counted and logged (VERDICT r1 item 5),
-    exactly like MinHash. Raise band bits (wider keys) rather than the cap
-    to keep recall at scale."""
-    sig = simhash_signatures(docs).persist()
+    The band key space is small (2^15..2^16) — at 10^9 docs a band bucket
+    holds ~15k docs and an uncapped self-join is quadratic per bucket, so
+    buckets above ``bucket_cap`` are dropped, counted and logged (VERDICT r1
+    item 5), exactly like MinHash. Raise band bits (wider keys) rather than
+    the cap to keep recall at scale."""
+    band_bits = 15 if portable else 16
+    mask = (1 << band_bits) - 1
+    sig = simhash_signatures(docs, portable).persist()
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftrightunsigned("simhash", 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned("simhash", band_bits * i)
+            .bitwiseAND(F.lit(mask))
             .alias("key"),
         )
         for i in range(4)

@@ -6,11 +6,17 @@ as the commit marker. The manifest carries per-partition lineage (file ->
 row count/bytes, read from Parquet footers — no extra Spark job) plus the
 iteration's convergence metrics.
 
-Resume semantics (stated precisely, ADVICE r1): recovery restarts from the
-last COMMITTED iteration boundary — "resume mid-iteration" means a run
-killed during iteration i+1 loses only that in-flight iteration and resumes
-from iteration i's sealed snapshot, not from scratch; sub-iteration task
-recovery inside a live job is Spark's own lineage/shuffle-retry territory.
+Resume semantics: TRUE mid-iteration resume (north rule). Before each
+state write the writer seals a STAGING declaration (iteration, partition
+count, hash(vid) layout) and writes the state hash-partitioned so the
+Parquet ``part-NNNNN`` index IS the ``pmod(hash(vid), P)`` partition. A
+crash mid-write leaves the declaration plus a subset of complete partition
+files; resume recomputes ONLY the missing hash partitions (a filtered
+update against the previous sealed state), appends them, seals the
+iteration, and continues. Debris without a staging declaration (unknown
+layout) is ignored and recovery falls back to the last committed iteration
+boundary. Sub-task retry inside a live job remains Spark's own
+lineage/shuffle-retry territory.
 
 Filesystem abstraction (ADVICE r1): all manifest/lineage IO goes through a
 small FS seam. Local paths use ``os``/``pyarrow`` directly (fast path);
@@ -39,6 +45,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
+STAGING = "STAGING.json"
 
 
 def load_source(spark: SparkSession, location: str, table: bool = False) -> DataFrame:
@@ -225,6 +232,61 @@ class RunCheckpoint:
     def write(self, df: DataFrame, it: int, metrics: dict[str, Any]) -> None:
         self.write_data(df, it)
         self.commit(it, metrics, df.columns)
+
+    # ---- mid-iteration salvage (north rule: "runs resume mid-iteration").
+    # Protocol: the writer (a) seals iteration i with MANIFEST, (b) writes
+    # STAGING for i+1 declaring the partition layout, (c) writes the
+    # hash(vid)-partitioned state files, (d) seals i+1. A crash inside (c)
+    # leaves STAGING + a prefix of the partition files; resume then
+    # recomputes ONLY the missing hash partitions (filtered update against
+    # the sealed i state) instead of redoing the whole iteration.
+
+    def _staging_path(self, it: int) -> str:
+        return f"{self.dir}/iter={it}/{STAGING}"
+
+    def stage_marker(self, it: int, n_partitions: int) -> None:
+        """Declare an in-flight iteration write: the files that follow are
+        partitioned by ``pmod(hash(vid), n_partitions)`` with the file's
+        ``part-NNNNN`` index equal to the hash partition (enforced by the
+        writer's repartition). Written BEFORE the data; removed implicitly
+        by the commit manifest superseding it."""
+        self._fs.makedirs(f"{self.dir}/iter={it}")
+        self._fs.write_atomic(
+            self._staging_path(it),
+            json.dumps(
+                {
+                    "iter": it,
+                    "n_partitions": n_partitions,
+                    "layout": "pmod(hash(vid), n_partitions) == part index",
+                }
+            ).encode("utf-8"),
+        )
+
+    def staging_info(self, it: int) -> dict[str, Any] | None:
+        """The staging declaration of an UNCOMMITTED iteration (None if the
+        iteration was never staged or is already committed)."""
+        if self._fs.exists(self._manifest_path(it)):
+            return None
+        if not self._fs.exists(self._staging_path(it)):
+            return None
+        return json.loads(self._fs.read_bytes(self._staging_path(it)))
+
+    def staged_partitions(self, it: int) -> dict[int, str]:
+        """partition-index -> filename for every COMPLETE staged state file
+        (Parquet footer parses; a file truncated by the crash does not)."""
+        path = self.state_path(it)
+        out: dict[int, str] = {}
+        if not self._fs.exists(path):
+            return out
+        for f in self._fs.listdir(path):
+            if not f.startswith("part-") or not f.endswith(".parquet"):
+                continue
+            try:
+                self._fs.parquet_num_rows(f"{path}/{f}")
+            except Exception:  # noqa: BLE001 — truncated mid-crash
+                continue
+            out[int(f.split("-")[1])] = f
+        return out
 
     def committed_iters(self) -> list[int]:
         out = []

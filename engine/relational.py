@@ -109,3 +109,73 @@ def asof_join(
         for c in out_cols:
             out = out.withColumn(c, F.when(keep, F.col(c)))
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    lower_seconds: float = -600.0,
+    upper_seconds: float = 0.0,
+    suffix: str = "_r",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval (range) join: every (left, right) pair within the same
+    ``by`` group with ``right.on`` in ``[left.on + lower, left.on + upper]``
+    (bounds inclusive).
+
+    Spark-first plan — a non-equi time join rewritten as an EQUI join:
+    both sides are bucketed on ``floor(time / window_width)``; a left row
+    can only match right rows in the ~2 buckets its window spans, so it is
+    exploded to exactly those bucket keys (``F.sequence`` — bounded, never
+    data-dependent), equi-joined on (by..., bucket) and finished with the
+    exact range filter. This is the standard shuffle-safe form of an
+    interval join: without it Catalyst plans a per-key cross join whose
+    reducers blow up quadratically in events-per-key; with it the shuffle
+    key is (key, bucket) so skew is bounded by events-per-bucket, tunable
+    via the window width. Time arithmetic is integer MICROSECONDS
+    (``unix_micros``) end to end — exact, portable, no float epoch.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by]
+    lo = int(round(lower_seconds * 1_000_000))
+    hi = int(round(upper_seconds * 1_000_000))
+    width = max(hi - lo, 1_000_000)  # ≥1s so empty windows still bucket
+
+    # unix_micros needs TIMESTAMP; NTZ casts through the session zone —
+    # safe here because both sides shift identically and every predicate is
+    # on time DIFFERENCES (translation-invariant).
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    lm = _us(F.col(on))
+    l = left.withColumn("__us", lm).withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((lm + F.lit(lo)) / F.lit(width)),
+                F.floor((lm + F.lit(hi)) / F.lit(width)),
+            )
+        ),
+    )
+    r = right.select(
+        *by,
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+        _us(F.col(on)).alias("__rus"),
+    ).withColumn("__bkt", F.floor(F.col("__rus") / F.lit(width)))
+    out = (
+        l.join(r, [*by, "__bkt"])
+        .filter(
+            (F.col("__rus") >= F.col("__us") + F.lit(lo))
+            & (F.col("__rus") <= F.col("__us") + F.lit(hi))
+        )
+        # no dedup needed: only the LEFT side is exploded; each right row
+        # has exactly one bucket, so a (left, right) pair matches at most
+        # one (bucket) key — the join emits it once.
+        .drop("__bkt", "__us", "__rus")
+    )
+    return out

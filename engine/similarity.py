@@ -116,3 +116,44 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def embedding_neardup(
+    emb: DataFrame, threshold: float = 0.35, dim: int = 64,
+    n_planes: int = 16, bands: int = 4, id_col: str = "vec_id",
+    emb_col: str = "embedding", seed: int = 42, bucket_cap: int = 64,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """(a, b, cos) embedding-cosine near-duplicate pairs — the last member of
+    the dedup family (exact / MinHash / SimHash / n-gram Jaccard / embedding
+    cosine): SRP-LSH blocking + exact verify, never all-pairs.
+
+    Scale shape is identical to MinHash LSH: band buckets with the
+    2..bucket_cap size window (over-cap buckets dropped and logged — the
+    no-silent-caps policy), pair generation only within allowed buckets,
+    then the exact cosine filter on candidates. Recall is the SRP collision
+    probability (1-theta/pi per plane), tested in test_text_dedup.
+
+    The cosine is computed in DOUBLE after an exact float->double widening,
+    with a left-associative fold — bit-reproducible in any engine that
+    evaluates `e[1]*f[1] + e[2]*f[2] + ...` in double, which is what lets
+    the driver's DuckDB oracle (d6) value-verify pairs AND cosines with no
+    tolerance."""
+    from engine.dedup import _bucket_pairs
+
+    b = srp_buckets(emb, dim, n_planes, bands, id_col, emb_col, seed).select(
+        "id", "band", F.col("bkey").alias("key")
+    )
+    pairs = _bucket_pairs(b, bucket_cap, log_dropped, "embed_neardup")
+    dbl = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    va = dbl.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = dbl.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(va, "a").join(vb, "b")
+        .select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )

@@ -71,3 +71,90 @@ def read_edge_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.min("batch_id").alias("first_batch"), F.max("weight").alias("weight"))
         .select("src_name", "dst_name", "rel", "weight", "first_batch")
     )
+
+
+def windowed_edge_counts(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the late-data-tolerant rollup
+    for streaming feeds (B.8). The watermark bounds state: windows older
+    than (max event time - watermark) are finalized and dropped from the
+    store, so state size is O(keys x windows-in-watermark), not O(stream).
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    which is how the deterministic test asserts the windowing math.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def running_degree_update(key, pdf_iter, state):
+    """applyInPandasWithState update function: per-vertex cumulative degree
+    across micro-batches. State = one int64 (the degree so far); each batch
+    adds its per-key edge count and emits the updated total — the
+    incremental form of graph.out_degrees for the minion feed."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"vertex": [key[0]], "degree": [total]})
+
+
+def start_degree_tracker(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (B.8/B.9): cumulative out-degree
+    per repo vertex over the feed, maintained as keyed state via
+    ``applyInPandasWithState`` (Arrow-batched; state is one counter per
+    key, never a neighbor list). Each micro-batch appends the updated
+    totals for the keys it touched."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = feed_stream(spark, feed_dir)
+    edges = stream.select(F.concat(F.lit("repo:"), F.col("repo")).alias("vertex"))
+    updated = edges.groupBy("vertex").applyInPandasWithState(
+        running_degree_update,
+        outputStructType="vertex string, degree long",
+        stateStructType="degree long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    writer = updated.writeStream.outputMode("update").foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_degree_store(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest cumulative degree per vertex from the tracker's append log."""
+    raw = spark.read.parquet(out_dir)
+    return (
+        raw.groupBy("vertex")
+        .agg(F.max_by("degree", "batch_id").alias("degree"))
+    )

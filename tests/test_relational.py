@@ -97,3 +97,38 @@ def test_plan_has_single_exchange_and_sort(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides coalesce
     assert plan.count("Window") == 1
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bucketized range join == plain non-equi join on a seeded event set."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.randrange(5), float(rnd.randrange(0, 100_000)) / 10.0)
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, t double").select(
+        "event_id", "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    from engine.relational import range_join
+
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in range_join(
+            ev, ev, on="ts", by=["user_id"],
+            lower_seconds=-900.0, upper_seconds=-1e-6,  # strictly earlier
+            right_cols=["event_id"],
+        ).collect()
+    }
+    by_user = {}
+    for eid, uid, t in rows:
+        by_user.setdefault(uid, []).append((eid, t))
+    want = set()
+    for uid, es in by_user.items():
+        for eid, t in es:
+            for fid, u in es:
+                # mirror the integer-microsecond arithmetic exactly
+                if round(t * 1e6) - 900_000_000 <= round(u * 1e6) <= round(t * 1e6) - 1:
+                    want.add((eid, fid))
+    assert got == want and len(want) > 50

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from engine.algos.pagerank import pagerank
-from engine.io import MANIFEST, RunCheckpoint
+from engine.io import MANIFEST, STAGING, RunCheckpoint
 
 
 @pytest.fixture()
@@ -44,21 +44,64 @@ def test_resume_equals_uninterrupted(spark, tiny_graph, ckpt_base):
     assert max(abs(a[k] - b[k]) for k in ks) < 1e-12
 
 
-def test_resume_ignores_uncommitted_iteration(spark, tiny_graph, ckpt_base):
-    """Simulated crash mid-iteration: state written, manifest missing ->
-    resume must restart from the last COMMITTED iteration."""
+def test_resume_ignores_undeclared_uncommitted_iteration(spark, tiny_graph, ckpt_base):
+    """Crash debris WITHOUT a staging declaration (unknown layout) must be
+    ignored: resume restarts from the last COMMITTED iteration."""
     v, e = tiny_graph
     ck = RunCheckpoint(ckpt_base, "crash")
     pagerank(spark, e, vertices=v, tol=0.0, max_iter=3, checkpoint=ck)
     assert ck.latest() == 3
-    # fake an uncommitted iter=4: copy state dir, no MANIFEST
+    # fake an uncommitted iter=4: copy state dir, no MANIFEST, no STAGING
     src_dir = os.path.dirname(ck.state_path(3))
     dst_dir = os.path.dirname(ck.state_path(4))
     shutil.copytree(src_dir, dst_dir)
     os.remove(os.path.join(dst_dir, MANIFEST))
+    staging = os.path.join(dst_dir, STAGING)
+    if os.path.exists(staging):
+        os.remove(staging)
     assert ck.latest() == 3  # uncommitted iteration invisible
+    assert ck.staging_info(4) is None
     r = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=ck, resume=True)
     assert r.resumed_from == 3
+
+
+def test_mid_iteration_salvage(spark, tiny_graph, ckpt_base):
+    """Crash DURING iteration 5's partitioned state write (staging marker +
+    half the hash-partition files): resume recomputes only the missing
+    partitions, seals iteration 5, and the final trajectory matches an
+    uninterrupted run to 1e-12."""
+    v, e = tiny_graph
+    n_v = v.count()
+    full = RunCheckpoint(ckpt_base, "mfull")
+    r_full = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=full)
+
+    crash = RunCheckpoint(ckpt_base, "mcrash")
+    pagerank(spark, e, vertices=v, tol=0.0, max_iter=5, checkpoint=crash)
+    assert crash.latest() == 5
+    # demote iteration 5 to "crashed mid-write": drop its manifest and half
+    # of its hash-partitioned files, keep the staging marker the writer left
+    state_dir = crash.state_path(5)
+    parts = sorted(
+        f for f in os.listdir(state_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) >= 2
+    for f in parts[::2]:
+        os.remove(os.path.join(state_dir, f))
+    os.remove(os.path.join(os.path.dirname(state_dir), MANIFEST))
+    assert crash.latest() == 4
+    assert crash.staging_info(5) is not None
+    kept = crash.staged_partitions(5)
+    assert 0 < len(kept) < len(parts)
+
+    r = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=crash, resume=True)
+    assert r.resumed_from == 4
+    sal = [h for h in crash.metrics_history() if h["iter"] == 5][0]
+    assert sal["salvaged_partitions"] >= 1
+    # the sealed iteration 5 holds exactly one row per vertex (no dup/loss)
+    assert sum(p["rows"] for p in crash.manifest(5)["partitions"]) == n_v
+    a, b = _vals(r_full.ranks), _vals(r.ranks)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
 
 
 def test_manifest_lineage_and_metrics(spark, tiny_graph, ckpt_base):

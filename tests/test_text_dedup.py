@@ -202,3 +202,66 @@ def test_simhash_is_pure_jvm_plan(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
     plan = D.simhash_signatures(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+# ---- portable-hash LSH variants (cross-engine verifiable md5 family) ----
+
+@pytest.fixture(scope="module")
+def planted_dups(spark):
+    """3 exact-dup pairs + distinct filler docs."""
+    rows = []
+    for i in range(3):
+        txt = f"the quick brown fox jumps over dup group {i} " * 4
+        rows += [(2 * i, txt), (2 * i + 1, txt)]
+    for i in range(6, 20):
+        rows.append((i, f"unique document number {i} with its own words {i * 7}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_portable_matches_default_on_dups(planted_dups):
+    """Both hash families must flag the planted exact dups with est=1.0 —
+    the portable family changes the hash, not the algorithm."""
+    for portable in (False, True):
+        got = {
+            (r.a, r.b): r.est_jaccard
+            for r in D.minhash_candidates(planted_dups, portable=portable).collect()
+        }
+        for i in range(3):
+            assert got.get((2 * i, 2 * i + 1)) == 1.0, (portable, got)
+
+
+def test_simhash_portable_bits_and_pairs(planted_dups):
+    """Portable signatures fit in 60 bits; exact dups at Hamming 0 in both
+    variants; near-pair output respects max_hamming."""
+    sigs = {r.doc_id: r.simhash for r in
+            D.simhash_signatures(planted_dups, portable=True).collect()}
+    assert all(0 <= s < 2 ** 60 for s in sigs.values())
+    for portable in (False, True):
+        pairs = D.simhash_near_pairs(planted_dups, max_hamming=3,
+                                     portable=portable).collect()
+        got = {(r.a, r.b): r.hamming for r in pairs}
+        for i in range(3):
+            assert got.get((2 * i, 2 * i + 1)) == 0, (portable, got)
+        assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_simhash_portable_empty_doc_signature_zero(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in
+            D.simhash_signatures(df, portable=True).collect()}
+    assert sigs == {1: 0, 2: 0}
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    near = base + rng.randn(64) * 1e-3        # cosine ~ 1
+    rows = [(0, base.tolist()), (1, near.tolist())]
+    for i in range(2, 30):
+        rows.append((i, rng.randn(64).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.embedding_neardup(emb, threshold=0.9).collect()
+    pairs = {(r.a, r.b): r.cos for r in got}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    # threshold respected and pairs canonically ordered
+    assert all(r.cos >= 0.9 and r.a < r.b for r in got)
