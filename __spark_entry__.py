@@ -1128,6 +1128,8 @@ def oracle_sql() -> dict[str, str]:
         # text
         "t1_tokens": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) "
+            "AS BIGINT) AS bpe_chunks, "
             "CAST(floor(length(text) / 4.0) AS BIGINT) + 1 AS bpe_upper "
             "FROM documents WHERE length(text) > 0"
         ),

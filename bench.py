@@ -34,6 +34,7 @@ from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.pagerank import pagerank  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine import dedup as D  # noqa: E402
+from engine import relational as R  # noqa: E402
 from engine import similarity as S  # noqa: E402
 
 
@@ -161,6 +162,33 @@ def main() -> None:
     timed(
         "q5_docs_graph",
         lambda: build_graph(documents_as_source(spark, sf_dir), log_dropped=False)[1].count(),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "q6_range_join",
+        lambda: R.range_join(
+            ev.filter(F.col("event_type") == "error"),
+            ev.filter(F.col("event_type") == "click"),
+            on="ts", by=["user_id"],
+            lower_seconds=-3600.0, upper_seconds=0.0, right_cols=["event_id"],
+        ).count(),
+    )
+    # q7: near-dup detection with planted duplicates (scaled copies keep
+    # cosine == 1 and identical SRP signs, so recall of the planted pairs
+    # is 100% by construction — measured so). Bucketing sized for the
+    # corpus: 16-bit band keys (64 planes / 4 bands) spread the clustered
+    # embeddings below the cap. The driver's d6 correctness check runs the
+    # sf0.01-sized config.
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(pert)
+    timed(
+        "q7_embed_neardup",
+        lambda: S.embedding_neardup(
+            both, threshold=0.98, n_planes=64, bands=4, bucket_cap=256
+        ).count(),
     )
 
     total = time.monotonic() - t_all

@@ -24,12 +24,25 @@ LANG_MARKERS = [
 ]
 
 
+# GPT-2-style pre-tokenizer chunks, simplified to the lookahead-free subset
+# that Java regex (Spark) and RE2 (DuckDB/Go tokenizers) treat identically:
+# a word run, a digit run, or a punctuation run, each with an optional
+# leading space. Matches of this pattern are the units a byte-pair encoder
+# would merge within — counting them estimates BPE token budget far better
+# than chars/4 on code-like text.
+BPE_CHUNK_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens) — whitespace tokenization; a BPE-ish subword count
-    upper bound is n_chars/4 + 1, also emitted for budget estimation."""
+    """(doc_id, n_tokens, bpe_chunks, bpe_upper) — whitespace tokens, the
+    BPE-ish regex chunk count (``BPE_CHUNK_RE``), and the chars/4+1 upper
+    bound for budget estimation."""
     return docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_CHUNK_RE), F.lit(0))
+        ).cast("long").alias("bpe_chunks"),
         # floor() explicitly: SQL engines disagree on float->int cast
         # rounding (Spark truncates, DuckDB rounds), floor is portable.
         (F.floor(F.length("text") / F.lit(4)) + 1).cast("long").alias("bpe_upper"),

@@ -32,10 +32,11 @@ def docs_pd(docs):
 
 
 def test_token_counts_match_python(docs, docs_pd):
-    ours = {r.doc_id: r.n_tokens for r in T.token_counts(docs).collect()}
+    got = {r.doc_id: (r.n_tokens, r.bpe_chunks) for r in T.token_counts(docs).collect()}
     for doc_id, row in docs_pd.iterrows():
         if len(row.text) > 0:
-            assert ours[doc_id] == len(re.split(r"\s+", row.text.strip()))
+            assert got[doc_id][0] == len(re.split(r"\s+", row.text.strip()))
+            assert got[doc_id][1] == len(re.findall(T.BPE_CHUNK_RE, row.text))
 
 
 def test_quality_score_bounded(docs):
