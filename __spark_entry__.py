@@ -489,6 +489,27 @@ def _q_m_decode(spark, sf):
     )
 
 
+def _q_m_frames(spark, sf):
+    """m4: one-to-many mapInPandas frame sampling. Chunk lengths are a pure
+    function of (payload bytes, k), so the fan-out is value-verified."""
+    media = M.attach_binary(_tbl(spark, sf, "documents"))
+    return M.sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_idx", "n_bytes"
+    )
+
+
+def _q_m_resize(spark, sf):
+    """m5: mapInPandas resize stage (stub codec); dims/size metadata are
+    deterministic, the payload checksum determinism is pytest-covered."""
+    media = M.attach_binary(_tbl(spark, sf, "documents"))
+    return M.resize_media(media, width=64, height=48, resizer=M.fake_resizer).select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # B.2 projection / filter / scalar functions
@@ -551,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_meta": _q_m_meta,
         "m2_media_summary": _q_m_summary,
         "m3_decode_stub": _q_m_decode,
+        "m4_frame_sample": _q_m_frames,
+        "m5_resize_stub": _q_m_resize,
     }
 
 
@@ -1244,5 +1267,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width, "
             "CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height, "
             "CAST(1 AS INT) AS n_frames FROM documents"
+        ),
+        # m4: frame-sample chunk lengths: k = min(4, n); len_i = n//k plus
+        # one for the first n%k frames (multimodal.sample_frames).
+        "m4_frame_sample": """
+            WITH m AS (
+                SELECT doc_id, octet_length(encode(text)) AS n
+                FROM documents WHERE octet_length(encode(text)) > 0
+            ), f AS (SELECT doc_id, n, least(4, n) AS k FROM m)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(n // k + CASE WHEN i < n % k THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_bytes
+            FROM f, UNNEST(generate_series(0, k - 1)) AS u(i)
+        """,
+        # m5: resize stub emits exactly width*height bytes per row.
+        "m5_resize_stub": (
+            "SELECT doc_id, CAST(64 AS INT) AS width, CAST(48 AS INT) AS height, "
+            "CAST(3072 AS BIGINT) AS n_bytes FROM documents"
         ),
     }

@@ -102,3 +102,87 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
         F.max(F.col("meta.n_bytes")).alias("max_bytes"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, kind string, data binary, "
+    "meta struct<n_bytes: long, checksum: string, width: int, height: int>"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, data binary, n_bytes long"
+
+
+def real_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
+    """The resize codec seam (Pillow absent in this container)."""
+    raise NotImplementedError(
+        "image resize needs Pillow — pass resizer=fake_resizer for the "
+        "deterministic stub"
+    )
+
+
+def fake_resizer(kind: str, payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: a width*height-byte pseudo-pixel buffer
+    generated from a blake2b stream seeded by the payload — pure function
+    of (payload, dims), so the plumbing tests are exact."""
+    need = width * height
+    seed = hashlib.blake2b(payload, digest_size=32).digest()
+    out = bytearray()
+    i = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            seed + i.to_bytes(4, "little"), digest_size=64
+        ).digest()
+        i += 1
+    return bytes(out[:need])
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 48, resizer=real_resizer
+) -> DataFrame:
+    """mapInPandas resize stage: payload in, fixed-dims payload out, with
+    refreshed metadata (n_bytes, checksum, dims). Same batch-streaming
+    contract as decode_media — bytes never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, data in zip(pdf["doc_id"], pdf["kind"], pdf["data"]):
+                nb = resizer(kind, bytes(data), width, height)
+                rows.append(
+                    (
+                        doc_id, kind, nb,
+                        (len(nb), hashlib.sha256(nb).hexdigest(), width, height),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "data", "meta"])
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling as a ONE-TO-MANY mapInPandas stage: each payload is
+    split into ``min(n_frames, n_bytes)`` deterministic contiguous chunks
+    (the codec-free stand-in for ffmpeg keyframe extraction); empty payloads
+    emit no frames. Chunk lengths are a pure function of (n_bytes,
+    n_frames): floor(n/k) plus one for the first n%k frames — which is what
+    lets the harness value-verify the fan-out without a codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                b = bytes(data)
+                n = len(b)
+                if n == 0:
+                    continue
+                k = min(n_frames, n)
+                base, rem = divmod(n, k)
+                off = 0
+                for i in range(k):
+                    ln = base + (1 if i < rem else 0)
+                    rows.append((doc_id, i, b[off:off + ln], ln))
+                    off += ln
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "data", "n_bytes"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -266,3 +266,41 @@ def test_embedding_neardup_finds_planted_pair(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     # threshold respected and pairs canonically ordered
     assert all(r.cos >= 0.9 and r.a < r.b for r in got)
+
+
+# ---- multimodal resize / frame-sample plumbing ----
+
+def test_frame_sample_reassembles_payload(docs):
+    """Concatenating a doc's sampled frames in frame_idx order must
+    reproduce the original payload exactly (lossless chunking)."""
+    media = M.attach_binary(docs.limit(20))
+    originals = {r.doc_id: bytes(r.data) for r in media.collect()}
+    frames = M.sample_frames(media, n_frames=4).collect()
+    got: dict = {}
+    for r in sorted(frames, key=lambda r: (r.doc_id, r.frame_idx)):
+        got[r.doc_id] = got.get(r.doc_id, b"") + bytes(r.data)
+        assert r.n_bytes == len(bytes(r.data))
+    for doc_id, payload in originals.items():
+        if payload:
+            assert got[doc_id] == payload
+        else:
+            assert doc_id not in got  # empty payloads emit no frames
+
+
+def test_resize_stub_deterministic_and_sized(docs):
+    media = M.attach_binary(docs.limit(10))
+    a = M.resize_media(media, 64, 48, resizer=M.fake_resizer).collect()
+    b = M.resize_media(media, 64, 48, resizer=M.fake_resizer).collect()
+    ca = {r.doc_id: r.meta.checksum for r in a}
+    cb = {r.doc_id: r.meta.checksum for r in b}
+    assert ca == cb  # pure function of (payload, dims)
+    for r in a:
+        assert len(bytes(r.data)) == 64 * 48 == r.meta.n_bytes
+        assert (r.meta.width, r.meta.height) == (64, 48)
+
+
+def test_real_codecs_raise_clearly():
+    with pytest.raises(NotImplementedError):
+        M.real_decoder("blob", b"x")
+    with pytest.raises(NotImplementedError):
+        M.real_resizer("blob", b"x", 2, 2)
