@@ -309,6 +309,18 @@ def _q_g_khop(spark, sf):
     return sub_v.select("name", "vtype", "depth")
 
 
+def _q_g_scoring_projection(spark, sf):
+    """Verum S1: multigraph -> scoring graph (collapse parallel edges, add
+    reverse edges at 0.5 weight). Weights are sums of integers and halves —
+    exact in binary floating point, so the oracle matches with no tolerance."""
+    from engine.graph import scoring_projection
+
+    _, e = _graph(spark, sf)
+    return scoring_projection(e).select(
+        "src", "dst", F.round("weight", 4).alias("weight")
+    )
+
+
 def _q_g_personalized_pr(spark, sf):
     """Verum's topic-sensitive scoring: teleport mass on one repo's vertex."""
     v, e = _graph(spark, sf)
@@ -552,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_triangles": _q_g_triangles,
         "g8_khop": _q_g_khop,
         "g9_personalized_pagerank": _q_g_personalized_pr,
+        "g10_scoring_projection": _q_g_scoring_projection,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1072,6 +1085,19 @@ def oracle_sql() -> dict[str, str]:
         # deterministic LPA. Built above.
         "g4_pagerank_top": g4_sql,
         "g9_personalized_pagerank": g9_sql,
+        "g10_scoring_projection": f"""
+            WITH {graph_ctes},
+            collapsed AS (
+                SELECT src, dst, sum(w) AS weight FROM ev GROUP BY 1, 2
+            ),
+            sboth AS (
+                SELECT src, dst, weight FROM collapsed
+                UNION ALL
+                SELECT dst, src, weight * 0.5 FROM collapsed
+            )
+            SELECT src, dst, round(sum(weight), 4) AS weight
+            FROM sboth GROUP BY 1, 2
+        """,
         "g6_lpa_sizes": g6_sql,
         # g5: min-label components via transitive closure (fine at sf0.01
         # where V*V is bounded); label = vid of the lexicographically
