@@ -739,6 +739,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """
 
+    # --- t4: language-ID mirror — same function-word profiles, same
+    # word-boundary patterns (Java regex and RE2 agree on \b for ASCII),
+    # same fixed-priority argmax; integer arithmetic end to end.
+    from engine.text import LANG_PROFILES, lang_profile_pattern
+
+    t4_counts = ", ".join(
+        "len(regexp_extract_all(lower(text), '{p}')) AS c_{c}".format(
+            p=lang_profile_pattern(ws), c=code
+        )
+        for code, ws in LANG_PROFILES
+    )
+    t4_case = " ".join(
+        f"WHEN c_{code} = g THEN '{code}'" for code, _ in LANG_PROFILES
+    )
+    t4_sql = f"""
+        WITH c AS (SELECT doc_id, {t4_counts} FROM documents),
+        m AS (SELECT doc_id, c_en, c_es, c_de, c_fr,
+                     greatest(c_en, c_es, c_de, c_fr) AS g FROM c)
+        SELECT doc_id,
+               CASE WHEN g = 0 THEN 'other' {t4_case} ELSE 'other' END
+                   AS lang_pred
+        FROM m
+    """
+
     # --- g4/g6/g9: iterative graph algorithms as RECURSIVE CTE oracles.
     # DuckDB's recursive CTE working table is exactly "the previous
     # iteration's rows", and it permits multiple recursive references,
@@ -1197,14 +1221,7 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))"
             ", 4) AS quality FROM documents WHERE length(text) > 0"
         ),
-        "t4_langid": (
-            "SELECT doc_id, CASE "
-            "WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 'en' "
-            "WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 'es' "
-            "WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 'de' "
-            "WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 'fr' "
-            "ELSE 'other' END AS lang_pred FROM documents"
-        ),
+        "t4_langid": t4_sql,
         "t5_fingerprint": (
             "SELECT doc_id, substr(sha256("
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp "

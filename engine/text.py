@@ -12,15 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Stopword markers per language for the n-gram-free heuristic language ID.
-# Deliberately simple LIKE-based logic so the DuckDB oracle can mirror it
-# exactly; a production pipeline would swap in a char-trigram profile model
-# behind the same column contract.
-LANG_MARKERS = [
-    ("en", " the "),
-    ("es", " el "),
-    ("de", " und "),
-    ("fr", " le "),
+# Function-word profiles for heuristic language ID: per language, a set of
+# high-frequency words (disjoint across languages), counted with a
+# word-boundary regex that Java regex and RE2 treat identically. The doc's
+# language is the profile with the most hits (fixed priority order breaks
+# ties; zero hits -> 'other'). Integer arithmetic end to end, so the DuckDB
+# oracle mirrors it exactly; a production pipeline would swap in a trained
+# char-trigram model behind the same column contract.
+LANG_PROFILES = [
+    ("en", ["the", "and", "of", "to", "in", "is", "that", "with"]),
+    ("es", ["el", "los", "las", "que", "por", "una", "como", "pero"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"]),
+    ("fr", ["les", "des", "est", "dans", "pour", "une", "sur", "pas"]),
 ]
 
 
@@ -89,13 +92,27 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.filter(n > 0).select("doc_id", F.round(score, 4).alias("quality"))
 
 
+def lang_profile_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID from stopword markers; 'other' when none hit."""
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    expr = F.lit("other")
-    for code, marker in reversed(LANG_MARKERS):
-        expr = F.when(padded.contains(marker), F.lit(code)).otherwise(expr)
-    return docs.select("doc_id", expr.alias("lang_pred"))
+    """Heuristic language ID: per-language function-word hit counts
+    (``LANG_PROFILES``), argmax with fixed priority tiebreak, 'other' when
+    no profile hits. All counting is JVM regexp over lowered text — one
+    codegen'd projection, no shuffle."""
+    low = F.lower(F.col("text"))
+    counts = {
+        code: F.size(
+            F.regexp_extract_all(low, F.lit(lang_profile_pattern(ws)), F.lit(0))
+        )
+        for code, ws in LANG_PROFILES
+    }
+    g = F.greatest(*counts.values())
+    expr = F.when(g == 0, F.lit("other"))
+    for code, _ in LANG_PROFILES:
+        expr = expr.when(counts[code] == g, F.lit(code))
+    return docs.select("doc_id", expr.otherwise(F.lit("other")).alias("lang_pred"))
 
 
 def corpus_stats(docs: DataFrame, rsd: float = 0.02) -> DataFrame:

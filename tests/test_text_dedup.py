@@ -304,3 +304,18 @@ def test_real_codecs_raise_clearly():
         M.real_decoder("blob", b"x")
     with pytest.raises(NotImplementedError):
         M.real_resizer("blob", b"x", 2, 2)
+
+
+def test_lang_id_classifies_clear_samples(spark):
+    """Profile scoring must classify unambiguous sentences, pick the
+    majority language in mixed text, and say 'other' for no-signal text."""
+    rows = [
+        (1, "The cat sat on the mat and looked at the dog with interest."),
+        (2, "El perro come en la casa y los gatos juegan por una hora como siempre."),
+        (3, "Der Hund ist nicht mit der Katze und das ist ein Problem."),
+        (4, "Les enfants jouent dans le parc pour une heure sur la pelouse, pas mal."),
+        (5, "zzz qqq 12345 !!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "other"}
