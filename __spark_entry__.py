@@ -926,13 +926,23 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(f"{srp_keys[b]} AS k{b}" for b in range(4))
         + " FROM embeddings)"
     )
+    # per-band bucket sizes mirror srp_topk's bucket_cap=1024 policy
+    s2_sizes = ", ".join(
+        f"s{b} AS (SELECT k{b} AS key, count(*) AS n FROM bk GROUP BY 1)"
+        for b in range(4)
+    )
+    s2_conds = " OR ".join(
+        f"(c.k{b} = q.k{b} AND (SELECT n FROM s{b} WHERE key = c.k{b}) <= 1024)"
+        for b in range(4)
+    )
     s2_sql = f"""
         WITH {bk_cte},
+        {s2_sizes},
         cand AS (
             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM bk c, bk q
             WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
-              AND (c.k0 = q.k0 OR c.k1 = q.k1 OR c.k2 = q.k2 OR c.k3 = q.k3)
+              AND ({s2_conds})
         )
         SELECT query_id, rank, neighbor_id FROM (
             SELECT cand.query_id, cand.neighbor_id,

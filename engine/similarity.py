@@ -89,14 +89,25 @@ def srp_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     n_planes: int = 16, bands: int = 4, id_col: str = "vec_id",
     emb_col: str = "embedding", seed: int = 42,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
-    """Approximate top-k: SRP-LSH candidate generation + exact re-rank."""
+    """Approximate top-k: SRP-LSH candidate generation + exact re-rank.
+
+    ``bucket_cap`` bounds the per-query candidate volume: corpus buckets
+    larger than the cap are dropped from candidate generation (the same
+    no-silent-caps policy as the dedup LSH operators — at 10^9 vectors a
+    hot bucket of near-identical embeddings would otherwise fan every
+    matching query out to millions of rerank pairs). Raise band bits, not
+    the cap, to keep recall at scale."""
     cb = srp_buckets(emb, dim, n_planes, bands, id_col, emb_col, seed)
+    sizes = cb.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(F.col("n") <= bucket_cap).select("band", "bkey")
     qb = srp_buckets(queries, dim, n_planes, bands, id_col, emb_col, seed).select(
         F.col("id").alias("query_id"), "band", "bkey"
     )
     cand = (
-        cb.join(qb, ["band", "bkey"])
+        cb.join(ok, ["band", "bkey"], "left_semi")
+        .join(qb, ["band", "bkey"])
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
