@@ -475,6 +475,17 @@ def _q_s_srp_topk(spark, sf):
     return S.srp_topk(emb, queries, k=5, dim=64).select("query_id", "rank", "neighbor_id")
 
 
+def _q_s_ivf_topk(spark, sf):
+    """s3: IVF ANN — coarse-quantizer cells + nprobe probing + exact rerank;
+    cell assignment and probing are bit-reproducible double folds, so the
+    DuckDB oracle mirrors the whole path."""
+    emb = _tbl(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, dim=64).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def _q_d_embed_neardup(spark, sf):
     """Embedding-cosine near-dup: SRP-LSH blocking + exact double-precision
     cosine verify — value-verified by the DuckDB oracle (same plane literals
@@ -581,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "s1_ann_topk": _q_s_ann_topk,
         "s2_srp_topk": _q_s_srp_topk,
+        "s3_ivf_topk": _q_s_ivf_topk,
         # multimodal
         "m1_media_meta": _q_m_meta,
         "m2_media_summary": _q_m_summary,
@@ -954,6 +966,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings q ON q.vec_id = cand.query_id
         ) WHERE rank <= 5
     """
+    # --- s3: IVF mirror — same centroid literals, same left-assoc double
+    # squared-distance folds; first-occurrence argmin on both sides.
+    from engine.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16, 7)
+
+    def sqdist_sql(c):
+        return " + ".join(
+            f"((CAST(embedding[{i + 1}] AS DOUBLE) - (CAST({c[i]!r} AS DOUBLE)))"
+            f" * (CAST(embedding[{i + 1}] AS DOUBLE) - (CAST({c[i]!r} AS DOUBLE))))"
+            for i in range(64)
+        )
+
+    dv_cols = ", ".join(f"({sqdist_sql(cents[j])}) AS d{j}" for j in range(16))
+    dlist = "[" + ", ".join(f"d{j}" for j in range(16)) + "]"
+    ilist = "[" + ", ".join(str(j) for j in range(16)) + "]"
+    s3_sql = f"""
+        WITH dv AS (SELECT vec_id, {dv_cols} FROM embeddings),
+        asn AS (
+            SELECT vec_id,
+                   CAST(list_position({dlist},
+                        list_aggregate({dlist}, 'min')) - 1 AS INT) AS cid
+            FROM dv
+        ),
+        qp AS (
+            SELECT vec_id AS query_id, idx AS cid FROM (
+                SELECT vec_id, d, idx,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d, idx) AS rn
+                FROM (
+                    SELECT vec_id, unnest({dlist}) AS d,
+                           unnest({ilist}) AS idx
+                    FROM dv WHERE vec_id < 10
+                )
+            ) WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+            FROM qp JOIN asn a USING (cid)
+            WHERE a.vec_id != qp.query_id
+        )
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   row_number() OVER (PARTITION BY cand.query_id ORDER BY
+                       list_cosine_similarity(c.embedding, q.embedding) DESC,
+                       cand.neighbor_id) AS rank
+            FROM cand
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+            JOIN embeddings q ON q.vec_id = cand.query_id
+        ) WHERE rank <= 5
+    """
+
     pair_dot = " + ".join(
         f"(CAST(va.embedding[{i + 1}] AS DOUBLE) * CAST(vb.embedding[{i + 1}] AS DOUBLE))"
         for i in range(64)
@@ -1293,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash_pairs": d4_sql,
         "d6_embed_neardup": d6_sql,
         "s2_srp_topk": s2_sql,
+        "s3_ivf_topk": s3_sql,
         # similarity: exact brute-force top-k is SQL-expressible (ids only —
         # float cosine values are rounded differently across engines)
         "s1_ann_topk": (

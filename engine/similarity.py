@@ -168,3 +168,89 @@ def embedding_neardup(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def _ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids. Seeded random directions
+    stand in for trained k-means cells: at corpus scale the centroids would
+    be fit offline on a sample and broadcast exactly the same way — the
+    query plan is identical, only the literal values change."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_centroids, dim)
+
+
+def _sqdist(col, cvec) -> F.Column:
+    """Squared L2 distance to a literal centroid — left-associative double
+    fold (float elements widen exactly), bit-reproducible in any engine that
+    evaluates (e[1]-c1)^2 + (e[2]-c2)^2 + ... in double."""
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, dim: int = 64, n_centroids: int = 16,
+    id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """(id, cid): nearest-centroid cell per vector (ties -> lowest cid,
+    via first-occurrence array_position). One codegen'd projection — the
+    inverted file is just a groupBy/join key, never a driver-side index."""
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    dists = [_sqdist(F.col(emb_col), cents[j]) for j in range(n_centroids)]
+    arr = F.array(*dists)
+    cid = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    return emb.select(F.col(id_col).alias("id"), cid.alias("cid"))
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_centroids: int = 16, nprobe: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via IVF: assign the corpus to coarse cells, probe
+    each query's ``nprobe`` nearest cells, exact cosine re-rank within the
+    probed cells only. The LSH-free sibling of ``srp_topk``: candidate
+    volume is corpus/n_centroids * nprobe per query, tuned by cell count —
+    at 10^9 vectors n_centroids grows to ~sqrt(N) and probing stays a
+    broadcast-able (query_id, cid) table joined against the cell-bucketed
+    corpus."""
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    corpus_cells = ivf_assignments(emb, dim, n_centroids, id_col, emb_col, seed)
+    qdists = [_sqdist(F.col(emb_col), cents[j]) for j in range(n_centroids)]
+    ranked = F.array(*[
+        F.struct(qdists[j].alias("d"), F.lit(j).alias("j"))
+        for j in range(n_centroids)
+    ])
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.slice(F.sort_array(ranked), 1, nprobe)).alias("p"),
+    ).select("query_id", F.col("p.j").cast("int").alias("cid"))
+    cand = (
+        probes.join(corpus_cells, "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = with_norm(emb, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("v"),
+        F.col("_norm").alias("nv"),
+    )
+    qs = with_norm(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q"),
+        F.col("_norm").alias("nq"),
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nv") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(corpus, "neighbor_id").join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )

@@ -319,3 +319,19 @@ def test_lang_id_classifies_clear_samples(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "other"}
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = S.ivf_topk(emb, queries, k=3, dim=64, nprobe=2).collect()
+    assert all(1 <= r.rank <= 3 for r in rows)
+    # probing 2/16 cells must still find some exact top-3 neighbors
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(emb, queries, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) >= 1
+    # assignments are a partition of the corpus
+    asn = S.ivf_assignments(emb, dim=64)
+    assert asn.count() == emb.count()
+    assert asn.select("id").distinct().count() == emb.count()
