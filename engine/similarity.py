@@ -1,17 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Four operators:
 
 - ``cosine_topk`` — exact brute force: broadcast the (small) query set, one
   pass over the corpus, per-query top-k via TakeOrdered-style window. The
   dot product is ``F.aggregate(F.zip_with(...))`` — pure JVM, no UDF.
-- ``srp_topk`` — the scale path: Signed Random Projection LSH. P
-  deterministic pseudo-random hyperplanes (seeded, generated driver-side as
-  literals) hash every vector to a P-bit bucket; candidates = vectors whose
-  bucket matches the query's in at least one band; exact re-rank only within
-  candidates. At 10^9 vectors this turns an O(N*Q) scan into O(N) bucketing
-  + O(candidates*Q) re-rank; the bucket distribution is balanced by
-  construction (random projections).
+- ``srp_topk`` — LSH scale path: Signed Random Projection. P deterministic
+  seeded hyperplanes (driver-side literals) hash every vector to banded
+  sign-bit buckets; candidates = vectors sharing >= 1 band bucket with the
+  query (over-cap buckets dropped, never silently); exact re-rank only
+  within candidates. O(N) bucketing + O(candidates*Q) re-rank.
+- ``ivf_topk`` — IVF scale path: nearest-coarse-centroid cell assignment,
+  nprobe-cell probing per query, exact re-rank within probed cells.
+- ``embedding_neardup`` — cosine near-duplicate pairs: SRP blocking + exact
+  double-precision verify (the dedup-family member).
+
+Every hashing/assignment decision is a left-associative double fold over
+literal vectors, bit-reproducible in DuckDB SQL — which is how the driver
+value-verifies all four (s1/s2/s3/d6).
 """
 
 from __future__ import annotations
