@@ -20,7 +20,10 @@ Scale design (the parts that must survive 10^12 edges):
   aggregation, update join, new-state materialization — is a single Spark
   job; the convergence L1 delta and the *next* iteration's dangling mass
   are captured during that same job via ``df.observe`` (Observation API),
-  so no second pass and no extra driver round-trips ever happen. (Dangling
+  so no second pass and no extra driver round-trips ever happen. The
+  observed dangling mass is also committed into the iteration manifest, so
+  a resumed run reuses the exact value the crashed run observed instead of
+  re-deriving it through a differently-ordered float aggregation. (Dangling
   mass for iteration i+1 is ``sum(value_i over dangling vids)`` — a static
   per-vertex flag computed once — so observing it on iteration i's output
   is exact.)
@@ -195,7 +198,12 @@ def _gather_update(norm, ranks, p_col, alpha, dangling, has_hubs, bcast):
     gather edges(src)⋈ranks -> per-dst contribution sum (hub-salted partial
     stage when hubs are present) -> damped update joined back onto the
     state. Returns (vid, p, dang, value, diff); shared by the main loop and
-    mid-iteration salvage so both compute bit-identical states."""
+    mid-iteration salvage so both run the same expression tree. Salvaged
+    partitions are numerically equivalent to an uninterrupted run within
+    float-sum associativity (partial-sum order is partition-order dependent);
+    the committed-manifest ``dang_mass`` reuse above removes the one scalar
+    input that could otherwise drift, and the resume test asserts
+    equality at 1e-12."""
     gathered = norm.join(
         bcast(ranks.select(F.col("vid").alias("src"), "value")), "src"
     )
@@ -321,11 +329,19 @@ def _pagerank_loop(
         ranks = base.select("vid", "p", "dang", p_col.alias("value"))
     ranks = ranks.localCheckpoint(eager=True)
 
-    # Dangling mass for the first loop iteration (one small job; afterwards
-    # it rides along in each iteration's Observation).
-    dangling = float(
-        ranks.agg(F.sum(F.when(F.col("dang"), F.col("value")))).collect()[0][0] or 0.0
-    )
+    # Dangling mass for the first loop iteration. On resume, reuse the exact
+    # value the crashed run observed (committed in the manifest) — a fresh
+    # float aggregation's partial-sum order is partition-order dependent, so
+    # recomputing could drift at the ulp level from the uninterrupted run
+    # (ADVICE r2). Fresh runs / pre-r3 manifests compute it in one small job;
+    # afterwards it rides along in each iteration's Observation.
+    if resumed_from is not None and metrics and "dang_mass" in metrics[-1]:
+        dangling = float(metrics[-1]["dang_mass"])
+    else:
+        dangling = float(
+            ranks.agg(F.sum(F.when(F.col("dang"), F.col("value")))).collect()[0][0]
+            or 0.0
+        )
 
     converged = False
     delta = float("inf")
@@ -344,6 +360,11 @@ def _pagerank_loop(
             p_s = int(sal["n_partitions"])
             missing = sorted(set(range(p_s)) - set(done))
             if missing:
+                # Clear the crashed write's committer debris FIRST: stale
+                # committed task dirs under _temporary/0 would otherwise be
+                # merged by the append job's commitJob, duplicating rows for
+                # those hash partitions in the sealed state (ADVICE r2).
+                checkpoint.clear_job_debris(it_s)
                 new_full = _gather_update(
                     norm, ranks, p_col, alpha, dangling, has_hubs, bcast
                 ).select(*STATE_COLS)
@@ -363,7 +384,7 @@ def _pagerank_loop(
             )
             delta = float(row["delta"] or 0.0)
             dangling = float(row["dm"] or 0.0)
-            m = _iter_metrics(it_s, delta, 0.0, n_edges, n)
+            m = _iter_metrics(it_s, delta, 0.0, n_edges, n, dangling)
             m["salvaged_partitions"] = len(missing)
             metrics.append(m)
             checkpoint.commit(it_s, m, list(state.columns))
@@ -407,7 +428,7 @@ def _pagerank_loop(
             delta = float(vals["delta"] or 0.0)
             dangling = float(vals["dang_mass"] or 0.0)
             wall = time.monotonic() - t0
-            m = _iter_metrics(it, delta, wall, n_edges, n)
+            m = _iter_metrics(it, delta, wall, n_edges, n, dangling)
             metrics.append(m)
             checkpoint.commit(it, m, list(staged.columns))
             # The parquet snapshot is now the state of record — release the
@@ -424,7 +445,7 @@ def _pagerank_loop(
             delta = float(vals["delta"] or 0.0)
             dangling = float(vals["dang_mass"] or 0.0)
             wall = time.monotonic() - t0
-            metrics.append(_iter_metrics(it, delta, wall, n_edges, n))
+            metrics.append(_iter_metrics(it, delta, wall, n_edges, n, dangling))
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = cached
@@ -442,7 +463,10 @@ def _pagerank_loop(
     return PageRankResult(out, it, converged, delta, metrics, resumed_from)
 
 
-def _iter_metrics(it: int, delta: float, wall: float, n_edges: int, n: int) -> dict:
+def _iter_metrics(
+    it: int, delta: float, wall: float, n_edges: int, n: int,
+    dang_mass: float | None = None,
+) -> dict:
     m = {
         "iter": it,
         "l1_delta": delta,
@@ -451,6 +475,10 @@ def _iter_metrics(it: int, delta: float, wall: float, n_edges: int, n: int) -> d
         "n_edges": n_edges,
         "n_vertices": n,
     }
+    if dang_mass is not None:
+        # Committed so a resumed run reuses the exact observed value
+        # rather than re-deriving it via a differently-ordered float sum.
+        m["dang_mass"] = dang_mass
     if os.environ.get("VERUM_ITER_STATS"):
         m.update(_env_stats())
     return m

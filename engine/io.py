@@ -38,6 +38,7 @@ from __future__ import annotations
 import io as _io
 import json
 import os
+import shutil
 import uuid
 from typing import Any
 
@@ -90,6 +91,14 @@ class _LocalFS:
         with open(tmp, "wb") as fh:
             fh.write(data)
         os.replace(tmp, path)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        if not os.path.exists(path):
+            return
+        if recursive and os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
 
     def parquet_num_rows(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
@@ -149,6 +158,9 @@ class _HadoopFS:
         if self._fs.exists(dst):
             self._fs.delete(dst, False)
         self._fs.rename(tmp, dst)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._p(path), recursive)
 
     def parquet_num_rows(self, path: str) -> int:
         data = self.read_bytes(path)
@@ -273,7 +285,12 @@ class RunCheckpoint:
 
     def staged_partitions(self, it: int) -> dict[int, str]:
         """partition-index -> filename for every COMPLETE staged state file
-        (Parquet footer parses; a file truncated by the crash does not)."""
+        (Parquet footer parses; a file truncated by the crash does not).
+
+        A truncated file is DELETED on detection (ADVICE r2): leaving it on
+        disk would make the post-salvage ``read()`` fail on the corrupt
+        footer — or, worse, leave both the truncated and the recomputed file
+        for the same partition index in the directory."""
         path = self.state_path(it)
         out: dict[int, str] = {}
         if not self._fs.exists(path):
@@ -284,9 +301,28 @@ class RunCheckpoint:
             try:
                 self._fs.parquet_num_rows(f"{path}/{f}")
             except Exception:  # noqa: BLE001 — truncated mid-crash
+                self._fs.delete(f"{path}/{f}")
                 continue
             out[int(f.split("-")[1])] = f
         return out
+
+    def clear_job_debris(self, it: int) -> None:
+        """Remove the crashed write job's committer debris from an
+        UNCOMMITTED staged state dir, before any salvage append (ADVICE r2).
+
+        With FileOutputCommitter v1 the job-attempt path ``_temporary/0`` is
+        shared across jobs writing to the same directory: a crash mid-write
+        can leave *committed task dirs* under ``_temporary/0`` whose part
+        files never reached the final dir. If they survive, the salvage
+        append job's commitJob merges BOTH its own task outputs AND the
+        stale ones — silently duplicating rows for those hash partitions in
+        the sealed state. ``_SUCCESS`` is cleared too so the directory never
+        looks like a completed vanilla write mid-salvage."""
+        path = self.state_path(it)
+        if not self._fs.exists(path):
+            return
+        self._fs.delete(f"{path}/_temporary", recursive=True)
+        self._fs.delete(f"{path}/_SUCCESS")
 
     def committed_iters(self) -> list[int]:
         out = []

@@ -104,6 +104,58 @@ def test_mid_iteration_salvage(spark, tiny_graph, ckpt_base):
     assert max(abs(a[k] - b[k]) for k in a) < 1e-12
 
 
+def test_salvage_clears_committer_debris_and_truncated_files(
+    spark, tiny_graph, ckpt_base
+):
+    """Crash mid-write can leave (a) committed task dirs under the
+    FileOutputCommitter v1 job-attempt path ``_temporary/0`` — which the
+    salvage append's commitJob would otherwise merge, duplicating rows —
+    and (b) a part file truncated mid-stream, whose corrupt footer would
+    fail the post-salvage read. Salvage must clear both (ADVICE r2)."""
+    v, e = tiny_graph
+    n_v = v.count()
+    full = RunCheckpoint(ckpt_base, "dfull")
+    r_full = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=full)
+
+    crash = RunCheckpoint(ckpt_base, "dcrash")
+    pagerank(spark, e, vertices=v, tol=0.0, max_iter=5, checkpoint=crash)
+    state_dir = crash.state_path(5)
+    parts = sorted(
+        f for f in os.listdir(state_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) >= 3
+    # (a) stale committed task dir under _temporary/0 holding a full copy of
+    # a partition file that WILL also be recomputed by the salvage append
+    task_dir = os.path.join(state_dir, "_temporary", "0", "task_000_m_000000")
+    os.makedirs(task_dir)
+    shutil.copy(os.path.join(state_dir, parts[0]), os.path.join(task_dir, parts[0]))
+    # (b) truncate one kept file mid-stream (corrupt footer), remove another
+    # outright — both become "missing" partitions for salvage
+    trunc = os.path.join(state_dir, parts[0])
+    sz = os.path.getsize(trunc)
+    with open(trunc, "r+b") as fh:
+        fh.truncate(sz // 2)
+    os.remove(os.path.join(state_dir, parts[1]))
+    os.remove(os.path.join(os.path.dirname(state_dir), MANIFEST))
+    assert crash.latest() == 4
+    kept = crash.staged_partitions(5)  # also deletes the truncated file
+    assert len(kept) == len(parts) - 2
+    assert not os.path.exists(trunc)
+
+    r = pagerank(spark, e, vertices=v, tol=0.0, max_iter=6, checkpoint=crash, resume=True)
+    assert r.resumed_from == 4
+    assert not os.path.exists(os.path.join(state_dir, "_temporary"))
+    # sealed iteration 5: exactly one row per vertex — the stale task dir
+    # did not resurrect a duplicate partition
+    assert sum(p["rows"] for p in crash.manifest(5)["partitions"]) == n_v
+    state5 = crash.read(spark, 5)
+    assert state5.count() == n_v
+    assert state5.select("vid").distinct().count() == n_v
+    a, b = _vals(r_full.ranks), _vals(r.ranks)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+
 def test_manifest_lineage_and_metrics(spark, tiny_graph, ckpt_base):
     v, e = tiny_graph
     ck = RunCheckpoint(ckpt_base, "meta")
