@@ -11,8 +11,9 @@ Env knobs:
   SPARK_GRAFT_BENCH_ROWS    synthetic corpus rows (default 2,000,000)
   SPARK_GRAFT_BENCH_ITERS   pagerank iterations timed (default 12)
 
-The N-vs-4N scaling evidence is produced by tools/scaling_bench.py (run at
-local[8] and local[32] on identical input), recorded in BENCH/BASELINE.md.
+The N-vs-4N scaling evidence is produced by tools/scaling_bench.py
+(CPU-pinned concurrent local[2]/local[8] pairs plus a serialized local[32]
+point, identical input bytes), recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -58,12 +59,20 @@ def main() -> None:
     q: dict[str, float] = {}
     extra: dict[str, object] = {}
 
-    # ---- 1. synthetic bench corpus (no content: structural graph only)
+    # ---- 1. synthetic bench corpus (no content: structural graph only).
+    # Timed twice on identical parameters (r1->r2 measured 27->41s on the
+    # same code; the repeat separates host weather from real regressions —
+    # VERDICT r2 item 9): datagen = the persisted pass the rest of the
+    # bench uses, datagen_repeat = a throwaway re-run, min is the signal.
     t0 = time.monotonic()
     src = source_files(spark, rows, repos, with_content=False).persist()
     n_src = src.count()
     q["datagen"] = time.monotonic() - t0
-    log(f"datagen: {n_src} rows in {q['datagen']:.1f}s")
+    t0 = time.monotonic()
+    source_files(spark, rows, repos, with_content=False).count()
+    q["datagen_repeat"] = time.monotonic() - t0
+    log(f"datagen: {n_src} rows in {q['datagen']:.1f}s "
+        f"(repeat {q['datagen_repeat']:.1f}s)")
 
     t0 = time.monotonic()
     v, e = build_graph(src, include_cooccur=False)
@@ -88,6 +97,35 @@ def main() -> None:
         "converged": res.converged,
     }
     log(f"pagerank: {res.iterations} iters, {extra['pagerank']['edges_per_sec_per_iter']:.0f} edges/s/iter")
+
+    # ---- 2b. bucketed-edge variant (VERDICT r2 item 7): save the edges as
+    # a bucketBy(src) table ONCE (the one-time cost a production deployment
+    # pays at ingest), then run the loop with edges_pre_partitioned=True —
+    # the scan exposes HashPartitioning(src) so prep runs with ZERO O(E)
+    # exchanges (plan-asserted in test_graph_layout.py; vids stay long on
+    # this path — narrowing would invalidate the bucket partitioning).
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS bench_edges_bucketed")
+    from engine.graph import load_edges_bucketed, save_edges_bucketed
+    t0 = time.monotonic()
+    save_edges_bucketed(e, "bench_edges_bucketed", buckets=P)
+    q["save_edges_bucketed"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    eb = load_edges_bucketed(spark, "bench_edges_bucketed")
+    res_b = pagerank(
+        spark, eb, vertices=v, tol=0.0, max_iter=12, edges_pre_partitioned=True
+    )
+    q["pagerank_bucketed_12it"] = time.monotonic() - t0
+    walls_b = [m["wall_s"] for m in res_b.metrics]
+    eps_b = [m["edges_per_s"] for m in res_b.metrics if m["edges_per_s"]]
+    extra["pagerank_bucketed"] = {
+        "median_iter_s": sorted(walls_b)[len(walls_b) // 2],
+        "edges_per_sec_per_iter": sorted(eps_b)[len(eps_b) // 2],
+    }
+    spark.sql("DROP TABLE IF EXISTS bench_edges_bucketed")
+    log(f"pagerank_bucketed: median iter "
+        f"{extra['pagerank_bucketed']['median_iter_s']:.2f}s "
+        f"(plain {extra['pagerank']['median_iter_s']:.2f}s)")
 
     # ---- 3. other graph algorithms
     t0 = time.monotonic()

@@ -27,11 +27,16 @@ metric is per-iteration throughput): eff = (T_N / T_4N) / 4.
 **Repeats + robust statistics**: this virtualized host has heavy weather —
 identical back-to-back runs vary up to 3x in iteration wall, with GC/sys
 spikes that correlate with nothing in the job (hypervisor steal/ballooning;
-see BENCH notes). Each parallelism therefore runs REPEATS times; a run's
-score is the median of its steady-state iteration walls (first 3 dropped
-as cache+JIT warm-up) and a parallelism's score is the best (minimum)
-median across repeats — best-of-N is the standard way to measure the
-engine rather than the hypervisor's noise floor.
+see BENCH notes). The N/4N pair runs REPEATS rounds (default 5, r2's 3 was
+too dispersed — VERDICT r2 item 1); a run's score is the median of its
+steady-state iteration walls (first 3 dropped as cache+JIT warm-up). The
+HEADLINE efficiency is the POOLED statistic: median over every round's
+steady iteration walls per side, then the ratio — one slow-phase round
+shifts a pooled median of ~45/~185 samples far less than it shifts that
+round's own ratio. Per-round efficiencies (median round, min, IQR) are
+reported alongside as the dispersion evidence. (The 16N/local[32] point is
+summarized best-of-rounds — it is the serialized secondary measurement,
+bounded by the host microbenchmarks, not the criterion.)
 
 THREE parallelism points are measured (2, 8, 32), reported as two N-vs-4N
 pairs, with Spark-free host microbenchmarks bounding what ANY engine could
@@ -69,7 +74,7 @@ sys.path.insert(0, REPO)
 
 ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "24000000"))
 ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "12"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 WARMUP_ITERS = 3
 # Input parquet lives on tmpfs too: the measured job's scan should hit
 # memory-speed storage (a cluster reads hot data from page cache / fast
@@ -165,6 +170,7 @@ def run_one(parallelism: int) -> None:
         "pagerank_s": round(t_pr, 2),
         "gc_s": round(gc_s, 2),
         "iter_walls": [round(x, 2) for x in walls],
+        "steady_walls": [round(x, 3) for x in steady],
         "median_iter_s": round(med, 3),
         "edges_per_sec_per_iter": round(n_e / med, 1),
         "rank_checksum": checksum,
@@ -305,8 +311,24 @@ def orchestrate() -> None:
             file=sys.stderr, flush=True,
         )
 
-    # Headline = MEDIAN round (robust two-sided choice: neither the round
-    # the weather favored nor the one it wrecked); best round reported too.
+    # Headline = POOLED efficiency: median over ALL rounds' steady
+    # iteration walls per side, then the ratio. Per-round ratios stay as
+    # dispersion evidence (median round, min, IQR) — a single weather-hit
+    # round moves a per-round ratio a lot but a ~45/~185-sample pooled
+    # median barely (VERDICT r2 item 1).
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+    pooled2 = _median([w for p in pairs for w in p["p2"]["steady_walls"]])
+    pooled8 = _median([w for p in pairs for w in p["p8"]["steady_walls"]])
+    pooled_eff = round((pooled2 / pooled8) / 4.0, 3)
+    effs = sorted(p["eff"] for p in pairs)
+    eff_iqr = [
+        effs[len(effs) // 4],
+        effs[(3 * len(effs)) // 4] if len(effs) > 1 else effs[0],
+    ]
     med_pair = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
     best_pair = max(pairs, key=lambda p: p["eff"])
     best32 = min(runs32, key=lambda r: r["median_iter_s"])
@@ -330,20 +352,26 @@ def orchestrate() -> None:
         "iters": ITERS,
         "repeats": REPEATS,
         "statistic": "N and 4N measured concurrently on disjoint pinned core "
-                     "sets (same weather window); per run: median steady-state "
-                     f"iteration wall (first {WARMUP_ITERS} iterations of a "
-                     "session dropped as warm-up); headline = MEDIAN round",
+                     "sets (same weather window); steady-state iteration walls "
+                     f"(first {WARMUP_ITERS} iterations of a session dropped "
+                     "as warm-up); HEADLINE = pooled efficiency (median over "
+                     "all rounds' steady walls per side, then ratio); "
+                     "per-round ratios reported as dispersion",
         "local2": med_pair["p2"],
         "local8": med_pair["p8"],
         "local32": best32,
         "round_efficiencies": [p["eff"] for p in pairs],
+        "round_efficiency_median": med_pair["eff"],
+        "round_efficiency_min": effs[0],
+        "round_efficiency_iqr": eff_iqr,
         "best_round_efficiency": best_pair["eff"],
+        "pooled_median_iter_s": {"2": round(pooled2, 3), "8": round(pooled8, 3)},
         "all_medians": {
             "2": [p["p2"]["median_iter_s"] for p in pairs],
             "8": [p["p8"]["median_iter_s"] for p in pairs],
             "32": [r["median_iter_s"] for r in runs32],
         },
-        "scaling_efficiency": med_pair["eff"],
+        "scaling_efficiency": pooled_eff,
         "scaling_pair": "local[2] on cores 0-1  vs  local[8] on cores 8-15, "
                         "concurrent (N=2, 4N=8)",
         "secondary_8_to_32": {
@@ -393,17 +421,22 @@ serialized runs asymmetrically (identical back-to-back local[8] runs
 measured 7.3s and 25.8s per iteration); concurrent measurement gives both
 "clusters" the same weather, which is exactly the situation of two real
 clusters benchmarked at the same hour. Statistic: {r['statistic']};
-repeats = {r['repeats']}, per-round efficiencies {r['round_efficiencies']}.
+repeats = {r['repeats']}.
 
-| parallelism | best median iter (s) | edges/sec/iteration | all repeat medians (s) |
+| parallelism | median-round iter (s) | edges/sec/iteration | all repeat medians (s) |
 | --- | --- | --- | --- |
 | local[2]  (N)   | {r['local2']['median_iter_s']} | {r['local2']['edges_per_sec_per_iter']:,} | {r['all_medians']['2']} |
 | local[8]  (4N)  | {r['local8']['median_iter_s']} | {r['local8']['edges_per_sec_per_iter']:,} | {r['all_medians']['8']} |
 | local[32] (16N) | {r['local32']['median_iter_s']} | {r['local32']['edges_per_sec_per_iter']:,} | {r['all_medians']['32']} |
 
-- **Headline N-vs-4N (local[2] -> local[8]): efficiency =
-  {r['scaling_efficiency']}** (target >= 0.8; median round — best round
-  measured {r['best_round_efficiency']})
+- **Headline N-vs-4N (local[2] -> local[8]): POOLED efficiency =
+  {r['scaling_efficiency']}** (target >= 0.8; pooled per-side steady-wall
+  medians {r['pooled_median_iter_s']['2']}s / {r['pooled_median_iter_s']['8']}s
+  over all {r['repeats']} rounds)
+- **Dispersion** (per-round concurrent-pair ratios): rounds =
+  {r['round_efficiencies']}, median {r['round_efficiency_median']}, min
+  {r['round_efficiency_min']}, IQR {r['round_efficiency_iqr']}, best
+  {r['best_round_efficiency']}
 - per-vertex results identical across ALL parallelisms:
   {r['results_identical']} (rank checksum agreement < 1e-9 relative;
   pytest t5 additionally asserts allclose 1e-12 per-vertex)
