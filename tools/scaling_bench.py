@@ -16,7 +16,7 @@ measurably runs >2 cores' worth of CPU (r2 probes: 3.7 cores busy during a
 large one is charged for. ``taskset`` confines the whole process tree to
 exactly P cores, the same resource envelope a P-core cluster has, and the
 JVM (JDK 17 honors sched_getaffinity) then sizes GC/JIT threads to P on
-its own. The heap likewise scales with P (2 GiB/core — engine/session.py)
+its own. The heap likewise scales with P (4 GiB/core — engine/session.py)
 because cluster memory scales with cluster size; profiling showed a FIXED
 16g heap at 2 pinned cores turns ParallelGC into multi-second pauses
 (8-35s GC stalls per iteration, event-log data) while 4N runs pay nothing.
