@@ -293,7 +293,7 @@ def orchestrate() -> None:
     # runs hit asymmetrically (r2: back-to-back identical local[8] runs
     # measured 7.3s and 25.8s per iteration). The 4N side runs 4 inner
     # reps so it spans the same wall-clock as N's single rep. Repeated
-    # REPEATS times; the headline is the best round (both sides clean).
+    # REPEATS times; the headline is the POOLED efficiency below.
     pairs: list[dict] = []
     runs32: list[dict] = []
     for rep in range(REPEATS):
