@@ -254,21 +254,24 @@ def _pagerank_loop(
         max_vid = edges.agg(
             F.greatest(F.max("src"), F.max("dst"))
         ).collect()[0][0]
-    # Narrowing is SKIPPED on the bucketed-table path: casting src/dst on
-    # top of the bucketed scan would invalidate its HashPartitioning(src)
-    # (hash(int) != hash(long)), forcing the planner to re-shuffle the O(E)
-    # edge side — exactly the exchange the bucket layout exists to avoid.
-    # Wider cached rows cost ~14%/iteration; a per-iteration edge exchange
-    # costs the whole point.
-    narrow = (
-        max_vid is not None
-        and int(max_vid) < 2**31 - 1
-        and not edges_pre_partitioned
-    )
-    if narrow:
+    # Edge-side narrowing is SKIPPED on the bucketed-table path: casting
+    # src/dst on top of the bucketed scan would invalidate its
+    # HashPartitioning(src) (Murmur3 hash(int) != hash(long)), forcing the
+    # planner to re-shuffle the O(E) edge side — exactly the exchange the
+    # bucket layout exists to avoid. graph.save_edges_bucketed instead
+    # narrows AT SAVE TIME when the vids fit, so the bucketed scan is
+    # already int32; here we only align the O(V) state side to the edge
+    # key type (an int==bigint join would cast the EDGE key to bigint and
+    # re-shuffle it — same trap from the other direction).
+    fits = max_vid is not None and int(max_vid) < 2**31 - 1
+    src_is_int = dict(edges.dtypes).get("src") == "int"
+    narrow_edges = fits and not edges_pre_partitioned and not src_is_int
+    narrow_state = narrow_edges or (fits and src_is_int)
+    if narrow_edges:
         edges = edges.withColumn("src", F.col("src").cast("int")).withColumn(
             "dst", F.col("dst").cast("int")
         )
+    if narrow_state:
         if vertices is not None:
             vertices = vertices.withColumn("vid", F.col("vid").cast("int"))
         if personalization is not None:
