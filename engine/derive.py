@@ -93,6 +93,16 @@ def derive_structural_edges(source: DataFrame) -> DataFrame:
     )
 
 
+def content_membership(source: DataFrame) -> DataFrame:
+    """Distinct (content_hash, repo) facts — the ONLY state cooccur needs.
+
+    Kept as a first-class projection because incremental updates
+    (engine/incremental.py) maintain it between batches: each hash group
+    contributes to pair weights independently, so a batch only reprocesses
+    the hashes it touches."""
+    return with_content_hash(source).select("content_hash", "repo").distinct()
+
+
 def cooccur_groups(hashed: DataFrame, cap: int = COOCCUR_CAP) -> DataFrame:
     """(content_hash, repos: array<string>, n_repos) for groups of 2..cap.
 
@@ -103,14 +113,43 @@ def cooccur_groups(hashed: DataFrame, cap: int = COOCCUR_CAP) -> DataFrame:
     only kept when |set| <= cap; Spark's partial aggregation bounds the
     map-side state, and ``sort_array`` makes pair order deterministic.
     """
+    return _membership_groups(
+        hashed.select("content_hash", "repo").distinct(), cap
+    )
+
+
+def _membership_groups(membership: DataFrame, cap: int) -> DataFrame:
     return (
-        hashed.select("content_hash", "repo")
-        .distinct()
-        .groupBy("content_hash")
+        membership.groupBy("content_hash")
         .agg(F.sort_array(F.collect_set("repo")).alias("repos"))
         .withColumn("n_repos", F.size("repos"))
         .filter(F.col("n_repos") >= 2)
         .withColumn("capped", F.col("n_repos") > F.lit(cap))
+    )
+
+
+def cooccur_pairs(
+    membership: DataFrame, cap: int = COOCCUR_CAP, log_dropped: bool = True
+) -> DataFrame:
+    """Unordered repo pairs (a, b, weight) from (content_hash, repo) facts;
+    weight = #shared hashes. Cap applied per hash group BEFORE the explode."""
+    groups = _membership_groups(membership, cap)
+    if log_dropped:
+        dropped = groups.filter("capped").agg(
+            F.count(F.lit(1)).alias("groups"), F.sum("n_repos").alias("repos")
+        ).collect()[0]
+        if dropped["groups"]:
+            log.warning(
+                "cooccur: dropped %d over-cap content groups (cap=%d, %d repo "
+                "memberships) — counted, not silent",
+                dropped["groups"], cap, dropped["repos"],
+            )
+    return (
+        groups.filter(~F.col("capped"))
+        .select(F.explode("repos").alias("a"), "repos")
+        .select("a", F.explode(F.filter("repos", lambda x: x > F.col("a"))).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
 
 
@@ -122,23 +161,8 @@ def derive_cooccur_edges(
     The groupBy+double-explode form (not a raw self-join on content_hash) so
     the cap is applied *before* the quadratic blowup (SURVEY.md Table B J3).
     """
-    groups = cooccur_groups(hashed, cap)
-    if log_dropped:
-        dropped = groups.filter("capped").agg(
-            F.count(F.lit(1)).alias("groups"), F.sum("n_repos").alias("repos")
-        ).collect()[0]
-        if dropped["groups"]:
-            log.warning(
-                "cooccur: dropped %d over-cap content groups (cap=%d, %d repo "
-                "memberships) — counted, not silent",
-                dropped["groups"], cap, dropped["repos"],
-            )
-    pairs = (
-        groups.filter(~F.col("capped"))
-        .select(F.explode("repos").alias("a"), "repos")
-        .select("a", F.explode(F.filter("repos", lambda x: x > F.col("a"))).alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    pairs = cooccur_pairs(
+        hashed.select("content_hash", "repo").distinct(), cap, log_dropped
     )
     return pairs.select(
         _name("repo", F.col("a")).alias("src_name"),

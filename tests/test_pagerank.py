@@ -115,3 +115,47 @@ def test_personalization_must_have_positive_mass(spark, tiny_graph):
     zero = v.select("vid", F.lit(0.0).alias("mass")).limit(3)
     with _pytest.raises(ValueError, match="personalization mass"):
         pagerank(spark, e, vertices=v, personalization=zero, max_iter=2)
+
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark):
+    """initial_ranks warm start (incremental-update path): after a small
+    edge perturbation, warm-starting from the old converged ranks must
+    reach the SAME fixpoint as a cold run (the damped update is an affine
+    contraction — init-independent limit) in strictly fewer iterations."""
+    vids = list(range(30))
+    # ring + a few chords: connected, non-trivial stationary vector
+    pairs = [(i, (i + 1) % 30) for i in range(30)] + [
+        (0, 15), (7, 22), (11, 3), (18, 9)
+    ]
+    v = vertices_df(spark, vids)
+    e_old = edges_df(spark, pairs)
+    r_old = pagerank(spark, e_old, vertices=v, alpha=0.85, tol=1e-10,
+                     max_iter=300)
+    assert r_old.converged
+
+    # perturb: two new chords, one new vertex hanging off the ring
+    pairs2 = pairs + [(5, 27), (29, 13), (2, 30), (30, 2)]
+    v2 = vertices_df(spark, vids + [30])
+    e_new = edges_df(spark, pairs2)
+    cold = pagerank(spark, e_new, vertices=v2, alpha=0.85, tol=1e-10,
+                    max_iter=300)
+    warm = pagerank(spark, e_new, vertices=v2, alpha=0.85, tol=1e-10,
+                    max_iter=300, initial_ranks=r_old.ranks)
+    assert cold.converged and warm.converged
+    a = {r.vid: r.value for r in cold.ranks.collect()}
+    b = {r.vid: r.value for r in warm.ranks.collect()}
+    assert a.keys() == b.keys()
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-8)
+    assert abs(sum(b.values()) - 1.0) < 1e-9
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+
+
+def test_warm_start_zero_mass_fails_loudly(spark):
+    v = vertices_df(spark, [0, 1, 2])
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    zero = v.select("vid", F.lit(0.0).alias("value"))
+    with pytest.raises(ValueError, match="initial_ranks total mass"):
+        pagerank(spark, e, vertices=v, initial_ranks=zero, max_iter=2)
