@@ -251,14 +251,25 @@ def _q_union(spark, sf):
     return c.unionByName(s)
 
 
-def _q_except(spark, sf):
+def _q_setops(spark, sf):
+    """u2: except + distinct (+ a union gluing them) in one result — the
+    former u2/u3 rows merged so g11 fits inside the driver's 50-query
+    window (same consolidation precedent as t3/m2/m5 in r3)."""
     c = _tbl(spark, sf, "customer").select(F.col("c_custkey").alias("key")).distinct()
     s = _tbl(spark, sf, "supplier").select(F.col("s_suppkey").alias("key")).distinct()
-    return c.exceptAll(s)
-
-
-def _q_distinct(spark, sf):
-    return _tbl(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    ex = c.exceptAll(s).select(
+        F.lit("except").alias("op"), F.col("key").cast("string").alias("val")
+    )
+    di = (
+        _tbl(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("op"),
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("val"),
+        )
+    )
+    return ex.unionByName(di)
 
 
 # -------- graph queries over the documents corpus (FIXTURES.md §3 mapping)
@@ -327,6 +338,38 @@ def _q_g_scoring_projection(spark, sf):
     _, e = _graph(spark, sf)
     return scoring_projection(e).select(
         "src", "dst", F.round("weight", 4).alias("weight")
+    )
+
+
+def _q_g_density(spark, sf):
+    """g11: neighborhood-density profile — every undirected graph edge
+    scored with common-neighbor count / Jaccard / Adamic–Adar
+    (engine.algos.linkpred) and both endpoints' core numbers
+    (engine.algos.kcore h-index fixpoint). Jaccard/AA are rounded once to
+    6 dp (float-sum order differs across engines; same round-once
+    discipline as t2/w4); counts and cores are exact integers."""
+    from engine.algos.kcore import core_numbers
+    from engine.algos.linkpred import link_scores
+
+    v, e = _graph(spark, sf)
+    cores = core_numbers(spark, e).cores
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sc = link_scores(spark, e, pairs=und)
+    return (
+        sc.join(cores.select(F.col("vid").alias("a"), F.col("core").alias("core_a")), "a")
+        .join(cores.select(F.col("vid").alias("b"), F.col("core").alias("core_b")), "b")
+        .join(v.select(F.col("vid").alias("a"), F.col("name").alias("name_a")), "a")
+        .join(v.select(F.col("vid").alias("b"), F.col("name").alias("name_b")), "b")
+        .select(
+            "name_a", "name_b", "common",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+            "core_a", "core_b",
+        )
     )
 
 
@@ -566,7 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2, so r3 consolidated to fit every operator family inside it (VERDICT
     r2 item 2): p1/w1 retired (projection is exercised by every query; g2's
     vid assignment IS a value-verified row_number), t3 merged into t2,
-    m2 into m1, m5 into m3, and n1 (streaming rollup in batch mode) added."""
+    m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added, and
+    u3 merged into u2 to make room for g11 (k-core + link scores)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -592,10 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rank_per_group": _q_rank_per_group,
         "w3_topk": _q_topk,
         "w4_rolling": _q_rolling,
-        # B.6 set ops
+        # B.6 set ops (u2 merged except+distinct; freed slot goes to g11)
         "u1_union": _q_union,
-        "u2_except": _q_except,
-        "u3_distinct": _q_distinct,
+        "u2_setops": _q_setops,
         # B.7 graph (documents corpus); iterative algos value-verified via
         # recursive-CTE oracles
         "g1_edges": _q_g_edges,
@@ -608,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_khop": _q_g_khop,
         "g9_personalized_pagerank": _q_g_personalized_pr,
         "g10_scoring_projection": _q_g_scoring_projection,
+        "g11_density": _q_g_density,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1200,11 +1244,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'c' AS kind, c_custkey AS key FROM customer "
             "UNION ALL SELECT 's', s_suppkey FROM supplier"
         ),
-        "u2_except": (
+        "u2_setops": (
+            "SELECT 'except' AS op, CAST(key AS VARCHAR) AS val FROM ("
             "SELECT DISTINCT c_custkey AS key FROM customer "
-            "EXCEPT SELECT DISTINCT s_suppkey AS key FROM supplier"
+            "EXCEPT SELECT DISTINCT s_suppkey AS key FROM supplier) "
+            "UNION ALL "
+            "SELECT 'distinct', l_returnflag || '|' || l_linestatus FROM ("
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)"
         ),
-        "u3_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         # graph
         "g1_edges": edges_sql,
         "g2_vertices": f"""
@@ -1239,6 +1286,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, round(sum(weight), 4) AS weight
             FROM sboth GROUP BY 1, 2
+        """,
+        # g11: neighborhood-density profile. k-core via the same h-index
+        # fixpoint the engine iterates (engine/algos/kcore.py — integer
+        # state, exact); common/Jaccard/Adamic-Adar via plain joins.
+        # Jaccard/AA rounded once to 6 dp on both sides (float-sum order).
+        "g11_density": f"""
+            WITH RECURSIVE {graph_ctes},
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM ev WHERE src != dst
+            ),
+            adj AS (
+                SELECT a AS v, b AS nbr FROM und UNION SELECT b, a FROM und
+            ),
+            deg AS (SELECT v, CAST(count(*) AS INT) AS deg FROM adj GROUP BY v),
+            kc(it, vid, est, done) AS (
+                SELECT 0, v, deg, FALSE FROM deg
+                UNION ALL
+                SELECT x.it + 1, x.vid, x.ne,
+                       max(abs(x.ne - x.est)) OVER () = 0
+                FROM (
+                    SELECT k.it, k.vid, k.est,
+                           least(k.est, coalesce(h.h, 0)) AS ne
+                    FROM kc k
+                    LEFT JOIN (
+                        SELECT u AS vid, max(least(est, rn)) AS h
+                        FROM (
+                            SELECT adj.v AS u, k2.est,
+                                   row_number() OVER (PARTITION BY adj.v
+                                       ORDER BY k2.est DESC, adj.nbr) AS rn
+                            FROM adj JOIN kc k2 ON k2.vid = adj.nbr
+                        )
+                        GROUP BY u
+                    ) h USING (vid)
+                    WHERE k.it < 60 AND NOT k.done
+                ) x
+            ),
+            cores AS (
+                SELECT vid, est AS core FROM kc
+                WHERE it = (SELECT max(it) FROM kc)
+            ),
+            wnb AS (
+                SELECT und.a, und.b, n1.nbr, d.deg AS dn
+                FROM und
+                JOIN adj n1 ON n1.v = und.a
+                JOIN adj n2 ON n2.v = und.b AND n2.nbr = n1.nbr
+                JOIN deg d ON d.v = n1.nbr
+            ),
+            cn AS (
+                SELECT a, b, CAST(count(*) AS INT) AS common,
+                       sum(1.0 / ln(dn)) AS aa
+                FROM wnb GROUP BY a, b
+            ),
+            scored AS (
+                SELECT u.a, u.b,
+                       coalesce(cn.common, 0) AS common,
+                       coalesce(cn.aa, 0.0) AS aa
+                FROM und u LEFT JOIN cn USING (a, b)
+            )
+            SELECT va.name AS name_a, vb.name AS name_b, s.common,
+                   round(s.common / CAST(da.deg + db.deg - s.common AS DOUBLE),
+                         6) AS jaccard,
+                   round(s.aa, 6) AS adamic_adar,
+                   ca.core AS core_a, cb.core AS core_b
+            FROM scored s
+            JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
+            JOIN cores ca ON ca.vid = s.a JOIN cores cb ON cb.vid = s.b
+            JOIN vtx va ON va.vid = s.a JOIN vtx vb ON vb.vid = s.b
         """,
         "g6_lpa_sizes": g6_sql,
         # g5: min-label components via transitive closure (fine at sf0.01

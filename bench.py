@@ -31,10 +31,13 @@ from engine.datagen import documents_as_source, source_files  # noqa: E402
 from engine.derive import build_graph, hash_invariant_violations  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 from engine.algos.cc import connected_components  # noqa: E402
+from engine.algos.kcore import core_numbers  # noqa: E402
+from engine.algos.linkpred import link_scores  # noqa: E402
 from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.pagerank import pagerank  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine import dedup as D  # noqa: E402
+from engine import incremental as INC  # noqa: E402
 from engine import relational as R  # noqa: E402
 from engine import similarity as S  # noqa: E402
 
@@ -139,6 +142,41 @@ def main() -> None:
     lp.labels.count()
     q["label_propagation_5it"] = time.monotonic() - t0
 
+    t0 = time.monotonic()
+    kc = core_numbers(spark, e, vertices=v)
+    kc.cores.count()
+    q["kcore_decomposition"] = time.monotonic() - t0
+    extra["kcore_iterations"] = kc.iterations
+    kc.cores.unpersist()
+    log(f"kcore: {kc.iterations} h-index rounds in {q['kcore_decomposition']:.1f}s")
+
+    # ---- 3b. incremental fold vs full rebuild (engine/incremental.py):
+    # fold a ~1% batch into maintained state. The number to compare is
+    # incremental_fold vs derive_structural (the full-rebuild cost on the
+    # same corpus) — the fold never rescans source content, only merges
+    # the batch's edges and extends vids.
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(100))
+    base_src, batch_src = src.filter(bucket > 0), src.filter(bucket == 0)
+    iv, ie, ine, im = INC.initial_state(base_src, include_cooccur=False)
+    ine.count(); iv.count()  # materialize the maintained state untimed
+    # (initial_state persists name_edges/vertices itself)
+    t0 = time.monotonic()
+    fv, fe, fne, fm = INC.update_graph(
+        iv, ine, im, batch_src, include_cooccur=False
+    )
+    n_batch, n_fold_edges = batch_src.count(), fe.count()
+    q["incremental_fold_1pct"] = time.monotonic() - t0
+    extra["incremental"] = {
+        "batch_rows": n_batch,
+        "edges_after_fold": n_fold_edges,
+        "full_rebuild_s": round(q["derive_structural"], 3),
+    }
+    for df in (ine, iv, fne, fv):
+        df.unpersist()
+    log(f"incremental_fold_1pct: {n_batch} rows folded in "
+        f"{q['incremental_fold_1pct']:.1f}s (full rebuild "
+        f"{q['derive_structural']:.1f}s)")
+
     src.unpersist()
     v.unpersist()
     e.unpersist()
@@ -162,8 +200,20 @@ def main() -> None:
     tc = triangle_count(spark, e2)
     q["triangle_count"] = time.monotonic() - t0
     extra["triangles"] = tc
-    e2.unpersist()
     log(f"triangles: {tc} in {q['triangle_count']:.1f}s")
+
+    # link-prediction scores over the cooccur graph's own edges as the
+    # candidate set (the production shape: score known/candidate pairs,
+    # never enumerate all-pairs at scale)
+    t0 = time.monotonic()
+    cand = e2.filter(F.col("rel") == "cooccur").select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    n_scored = link_scores(spark, e2, pairs=cand).count()
+    q["link_scores_candidates"] = time.monotonic() - t0
+    extra["link_pairs_scored"] = n_scored
+    e2.unpersist()
+    log(f"link_scores: {n_scored} pairs in {q['link_scores_candidates']:.1f}s")
 
     # ---- 5. driver-table slice at sf_dir
     def timed(name, fn):
