@@ -34,6 +34,7 @@ from engine.algos.cc import connected_components  # noqa: E402
 from engine.algos.kcore import core_numbers  # noqa: E402
 from engine.algos.linkpred import link_scores  # noqa: E402
 from engine.algos.lpa import label_propagation  # noqa: E402
+from engine.algos.neighborhood import neighborhood_function  # noqa: E402
 from engine.algos.pagerank import pagerank  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine import dedup as D  # noqa: E402
@@ -202,18 +203,31 @@ def main() -> None:
     extra["triangles"] = tc
     log(f"triangles: {tc} in {q['triangle_count']:.1f}s")
 
-    # link-prediction scores over the cooccur graph's own edges as the
-    # candidate set (the production shape: score known/candidate pairs,
-    # never enumerate all-pairs at scale)
+    # link-prediction scores over ALL graph edges as the candidate set
+    # (the production shape: score known/candidate pairs, never enumerate
+    # all-pairs at scale)
     t0 = time.monotonic()
-    cand = e2.filter(F.col("rel") == "cooccur").select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    )
+    cand = e2.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     n_scored = link_scores(spark, e2, pairs=cand).count()
     q["link_scores_candidates"] = time.monotonic() - t0
     extra["link_pairs_scored"] = n_scored
-    e2.unpersist()
     log(f"link_scores: {n_scored} pairs in {q['link_scores_candidates']:.1f}s")
+
+    # HyperBall neighborhood function (directed balls; the structural
+    # graph is a depth-2 DAG so this converges in a few rounds — the cost
+    # driver is the O(E) counter pull + 64-register merge per round)
+    t0 = time.monotonic()
+    nb = neighborhood_function(spark, e2, p=6)
+    nb.balls.count()
+    q["neighborhood_hyperball"] = time.monotonic() - t0
+    extra["hyperball"] = {
+        "iterations": nb.iterations,
+        "converged": nb.converged,
+        "n_final": round(nb.history[-1], 1),
+    }
+    nb.balls.unpersist()
+    e2.unpersist()
+    log(f"hyperball: {nb.iterations} rounds in {q['neighborhood_hyperball']:.1f}s")
 
     # ---- 5. driver-table slice at sf_dir
     def timed(name, fn):
