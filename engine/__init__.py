@@ -10,10 +10,16 @@ an idiomatic Spark engine:
 - **graph**: columnar vertex/edge tables, dense long vertex ids, CSR-like
   hash-partitioned src-sorted Parquet layout, hub detection + salting.
 - **algos**: iterative DataFrame algorithms — PageRank (damped, with
-  dangling-mass redistribution and optional personalization = Verum's
-  topic-sensitive scoring), connected components (large-star/small-star),
-  synchronous label propagation, degree-ordered triangle counting, and
-  Verum's k-hop context query (BFS with dont_follow vertex-type pruning).
+  dangling-mass redistribution, optional personalization = Verum's
+  topic-sensitive scoring, and warm starts from prior ranks), connected
+  components (large-star/small-star), synchronous label propagation,
+  degree-ordered triangle counting, Verum's k-hop context query (BFS with
+  dont_follow vertex-type pruning), k-core decomposition (h-index
+  fixpoint), link-prediction scores (common/Jaccard/Adamic–Adar),
+  HyperBall neighborhood function (effective diameter, harmonic
+  centrality), and weighted multi-source shortest paths.
+- **incremental**: batch-fold graph maintenance — stable vertex ids,
+  per-hash co-occurrence deltas, exact equivalence to a full rebuild.
 - **checkpointing**: every iteration persists state + per-partition lineage
   and convergence metrics; runs resume mid-iteration from the last committed
   checkpoint.

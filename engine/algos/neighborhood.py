@@ -93,7 +93,7 @@ def _alpha(m: int) -> float:
 
 @dataclass
 class NeighborhoodResult:
-    balls: DataFrame        # (vid, ball_size) — estimated |ball(v, t_final)|
+    balls: DataFrame        # (vid, ball_size[, harmonic]) at t_final
     history: list[float]    # N(t) = sum_v |ball(v, t)| for t = 0, 1, ...
     iterations: int
     converged: bool
@@ -131,19 +131,27 @@ def neighborhood_function(
     p: int = 6,
     max_iter: int = 64,
     undirected: bool = False,
+    harmonic: bool = False,
 ) -> NeighborhoodResult:
     """HyperBall over the (src, dst) edge table.
 
     Ball growth follows OUT-edges (ball(v) absorbs successors' balls);
     pass ``undirected=True`` to symmetrize first. ``p``: HLL precision,
-    m = 2**p registers per vertex."""
+    m = 2**p registers per vertex.
+
+    ``harmonic=True`` additionally estimates per-vertex harmonic
+    centrality h(v) = sum_{u reachable from v} 1/d(v, u) — the HyperBall
+    paper's headline readout: the number of vertices at distance exactly
+    t is |ball(v,t)| - |ball(v,t-1)|, so h accumulates delta/t per round
+    (one extra co-partitioned join per round; estimate deltas clamp at 0
+    so HLL jitter never contributes negative mass)."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4, 12], got {p}")
     with iterative_conf(spark), _no_inferred_filters(spark):
-        return _hyperball_loop(spark, edges, p, max_iter, undirected)
+        return _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic)
 
 
-def _hyperball_loop(spark, edges, p, max_iter, undirected):
+def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     m = 1 << p
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
@@ -194,6 +202,13 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected):
 
     prev_sum, n0 = stats(state)
     history = [n0]
+    acc = None
+    if harmonic:
+        acc = state.select(
+            "vid",
+            _estimate(F.col("regs"), m).alias("est"),
+            F.lit(0.0).alias("harm"),
+        ).localCheckpoint(eager=True)
     converged = False
     it = 0
     merge = [
@@ -211,6 +226,25 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected):
         )
         s, nt = stats(new_state)
         history.append(nt)
+        if harmonic:
+            # vertices at distance exactly `it`: the ball's growth this
+            # round; both sides hash(vid)-partitioned -> no exchange
+            new_acc = (
+                new_state.select("vid", _estimate(F.col("regs"), m).alias("e2"))
+                .join(acc, "vid")
+                .select(
+                    "vid",
+                    F.col("e2").alias("est"),
+                    (
+                        F.col("harm")
+                        + F.greatest(F.col("e2") - F.col("est"), F.lit(0.0))
+                        / F.lit(float(it))
+                    ).alias("harm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            acc.unpersist()
+            acc = new_acc
         old, state = state, new_state
         old.unpersist()
         if s == prev_sum:
@@ -219,5 +253,7 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected):
         prev_sum = s
 
     balls = state.select("vid", _estimate(F.col("regs"), m).alias("ball_size"))
+    if harmonic:
+        balls = balls.join(acc.select("vid", F.col("harm").alias("harmonic")), "vid")
     e.unpersist()
     return NeighborhoodResult(balls, history, it, converged)

@@ -94,3 +94,31 @@ def test_p_validation(spark):
     e = edges_df(spark, [(0, 1)])
     with pytest.raises(ValueError, match="p must be"):
         neighborhood_function(spark, e, p=3)
+
+
+def test_harmonic_centrality_estimate(spark):
+    """harmonic=True: h(v) = sum over reachable u of 1/d(v,u), within HLL
+    tolerance of the exact value (nx.harmonic_centrality computes the
+    IN-distance sum, so compare on the reversed digraph)."""
+    g = nx.gnm_random_graph(40, 120, seed=8, directed=True)
+    res = neighborhood_function(
+        spark, edges_df(spark, list(g.edges)), p=8, harmonic=True
+    )
+    assert res.converged
+    got = {r.vid: r.harmonic for r in res.balls.collect()}
+    want = nx.harmonic_centrality(g.reverse())
+    for v, h in got.items():
+        if want[v] == 0:
+            assert h == pytest.approx(0.0, abs=0.15)
+        else:
+            assert h == pytest.approx(want[v], rel=0.20), (v, h, want[v])
+
+
+def test_harmonic_star_exact_shape(spark):
+    # hub -> leaves: h(hub) = n_leaves (all at distance 1); h(leaf) = 0
+    pairs = [(0, i) for i in range(1, 9)]
+    res = neighborhood_function(spark, edges_df(spark, pairs), p=8, harmonic=True)
+    got = {r.vid: r.harmonic for r in res.balls.collect()}
+    assert got[0] == pytest.approx(8.0, rel=0.1)
+    for leaf in range(1, 9):
+        assert got[leaf] == pytest.approx(0.0, abs=0.1)
