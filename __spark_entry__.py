@@ -156,20 +156,20 @@ def _q_shuffle_join(spark, sf):
     )
 
 
-def _q_semi_join(spark, sf):
+def _q_semi_anti_join(spark, sf):
+    """j4: left-semi and left-anti in one result (the former j4/j5 rows
+    merged so g12's SSSP oracle fits inside the driver's 50-query
+    window — same consolidation as u2_setops)."""
     c = _tbl(spark, sf, "customer")
     o = _tbl(spark, sf, "orders")
-    return c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
-    ).select("c_custkey")
-
-
-def _q_anti_join(spark, sf):
-    o = _tbl(spark, sf, "orders")
     li = _tbl(spark, sf, "lineitem")
-    return o.join(
+    semi = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select(F.lit("semi").alias("op"), F.col("c_custkey").alias("key"))
+    anti = o.join(
         li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
-    ).select("o_orderkey")
+    ).select(F.lit("anti").alias("op"), F.col("o_orderkey").alias("key"))
+    return semi.unionByName(anti)
 
 
 def _q_pricing_summary(spark, sf):
@@ -371,6 +371,20 @@ def _q_g_density(spark, sf):
             "core_a", "core_b",
         )
     )
+
+
+def _q_g_sssp(spark, sf):
+    """g12: weighted shortest-path distances from the lexicographically
+    first repo vertex (engine.algos.sssp Bellman–Ford loop). Edge weights
+    are integer-valued doubles (structural 1.0, cooccur = shared-hash
+    counts), so every path sum is exact in binary floating point and the
+    oracle matches with no tolerance; only reached vertices appear."""
+    from engine.algos.sssp import shortest_paths
+
+    v, e = _graph(spark, sf)
+    seed = v.filter("vtype = 'repo'").orderBy("vid").limit(1).select("vid")
+    res = shortest_paths(spark, e, seed, weighted=True)
+    return res.distances.join(v.select("vid", "name"), "vid").select("name", "dist")
 
 
 def _q_g_personalized_pr(spark, sf):
@@ -609,8 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2, so r3 consolidated to fit every operator family inside it (VERDICT
     r2 item 2): p1/w1 retired (projection is exercised by every query; g2's
     vid assignment IS a value-verified row_number), t3 merged into t2,
-    m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added, and
-    u3 merged into u2 to make room for g11 (k-core + link scores)."""
+    m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added,
+    u3 merged into u2 to make room for g11 (k-core + link scores), and
+    j5 merged into j4 to make room for g12 (weighted SSSP)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -622,8 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B.3 joins
         "j1_broadcast_join": _q_broadcast_join,
         "j2_shuffle_join": _q_shuffle_join,
-        "j4_semi_join": _q_semi_join,
-        "j5_anti_join": _q_anti_join,
+        "j4_semi_anti": _q_semi_anti_join,
         "j6_asof_join": _q_j6_asof,
         "j7_range_join": _q_j7_range,
         # B.4 aggregations
@@ -652,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_personalized_pagerank": _q_g_personalized_pr,
         "g10_scoring_projection": _q_g_scoring_projection,
         "g11_density": _q_g_density,
+        "g12_sssp": _q_g_sssp,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1175,12 +1190,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_items "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
         ),
-        "j4_semi_join": (
-            "SELECT c_custkey FROM customer "
-            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
-        ),
-        "j5_anti_join": (
-            "SELECT o_orderkey FROM orders "
+        "j4_semi_anti": (
+            "SELECT 'semi' AS op, c_custkey AS key FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "UNION ALL "
+            "SELECT 'anti', o_orderkey FROM orders "
             "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
         ),
         "j6_asof_join": (
@@ -1354,6 +1368,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
             JOIN cores ca ON ca.vid = s.a JOIN cores cb ON cb.vid = s.b
             JOIN vtx va ON va.vid = s.a JOIN vtx vb ON vb.vid = s.b
+        """,
+        # g12: multi-round Bellman-Ford distance state, one recursion step
+        # per engine iteration: the working table is the per-vertex best
+        # distance, each step full-joins it with one relaxation sweep.
+        # Fixed 25 rounds (> graph hop-diameter at sf0.01) reach the same
+        # fixpoint the engine converges to; path sums are integer-valued
+        # doubles, so values match exactly.
+        "g12_sssp": f"""
+            WITH RECURSIVE {graph_ctes},
+            seed AS (
+                SELECT min(vid) AS vid FROM vtx WHERE vtype = 'repo'
+            ),
+            sp(it, vid, dist) AS (
+                SELECT 0, vid, CAST(0.0 AS DOUBLE) FROM seed
+                UNION ALL
+                SELECT y.nit, y.vid, y.nd FROM (
+                    -- every working-table row shares the same it; the
+                    -- window max recovers it for rows that exist only on
+                    -- the relaxation side of the full join
+                    SELECT max(s.it) OVER () + 1 AS nit,
+                           coalesce(s.vid, r.vid) AS vid,
+                           least(coalesce(s.dist, CAST('inf' AS DOUBLE)),
+                                 coalesce(r.cand, CAST('inf' AS DOUBLE))) AS nd
+                    FROM (SELECT * FROM sp WHERE it < 25) s
+                    FULL JOIN (
+                        SELECT ev.dst AS vid, min(s2.dist + ev.w) AS cand
+                        FROM sp s2 JOIN ev ON ev.src = s2.vid
+                        WHERE s2.it < 25
+                        GROUP BY ev.dst
+                    ) r ON s.vid = r.vid
+                ) y
+            )
+            SELECT v.name, f.dist
+            FROM (SELECT vid, dist FROM sp WHERE it = (SELECT max(it) FROM sp)) f
+            JOIN vtx v USING (vid)
         """,
         "g6_lpa_sizes": g6_sql,
         # g5: min-label components via transitive closure (fine at sf0.01
