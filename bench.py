@@ -37,6 +37,7 @@ from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.neighborhood import neighborhood_function  # noqa: E402
 from engine.algos.pagerank import pagerank  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
+from engine.algos.walks import random_walks  # noqa: E402
 from engine import dedup as D  # noqa: E402
 from engine import incremental as INC  # noqa: E402
 from engine import relational as R  # noqa: E402
@@ -150,6 +151,17 @@ def main() -> None:
     extra["kcore_iterations"] = kc.iterations
     kc.cores.unpersist()
     log(f"kcore: {kc.iterations} h-index rounds in {q['kcore_decomposition']:.1f}s")
+
+    # random-walk corpus generation (DeepWalk-style training-data path):
+    # one walk per vertex, 8 steps — per step one O(walks) shuffle against
+    # the (v, pick)-partitioned adjacency
+    t0 = time.monotonic()
+    wk = random_walks(spark, e, walk_length=8, walks_per_vertex=1)
+    n_walks = wk.count()
+    q["random_walks_8step"] = time.monotonic() - t0
+    extra["walks"] = n_walks
+    wk.unpersist()
+    log(f"random_walks: {n_walks} walks in {q['random_walks_8step']:.1f}s")
 
     # ---- 3b. incremental fold vs full rebuild (engine/incremental.py):
     # fold a ~1% batch into maintained state. The number to compare is

@@ -1,0 +1,142 @@
+"""Deterministic random-walk corpus generation — the bridge from the link
+graph to embedding training (DeepWalk, Perozzi et al. KDD'14; node2vec,
+Grover & Leskovec KDD'16 — public knowledge): a 10^9-vertex graph becomes
+a corpus of vertex "sentences" that a skip-gram trainer consumes. At
+training-data scale the walk generator IS the pipeline bottleneck, so it
+must be set-oriented: one DataFrame row per walk, one join per step,
+never a per-vertex Python loop.
+
+Pseudo-randomness is **hash-derived, not sampled**: step t of walk w
+picks out-neighbor index xxhash64(walk_id, t, seed) mod out-degree from
+the vertex's deterministic (sorted) adjacency ranking. Same inputs →
+bit-identical corpus on any cluster size or partitioning — the property
+that makes a 100-TB walk job retryable/resumable for free (a re-run of a
+lost partition regenerates exactly the same walks; no RNG state to ship).
+For unbiased sampling the hash acts as a fixed universal hash of the
+(walk, step) pair — statistically uniform across neighbors, and any
+walk-level bias is the same one a seeded Mersenne run would bake in.
+
+Per step: state (walk_id, cur, path) joins degree-ranked adjacency on
+(cur, pick) — both tables hash-partitioned on the vertex key; dead ends
+(out-degree 0) freeze the walk, which simply stops extending. The path
+column grows as array<long> — L × 8 bytes per walk, columnar. Lineage is
+cut with an eager localCheckpoint every few steps (the join tower is
+otherwise L levels deep).
+
+Oracle properties (tests/test_walks.py): every consecutive pair is a
+real edge; exact walk count; bit-identical reruns; seed sensitivity;
+dead-end freezing; approximate uniformity of first-step choices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.algos.pagerank import iterative_conf
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 17,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(walk_id, path: array<long>) — one row per walk.
+
+    Walks follow OUT-edges from every vertex that has any, take up to
+    ``walk_length`` steps (path length <= walk_length + 1) and freeze at
+    dead ends. walk_id = vid * walks_per_vertex + replica."""
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    with iterative_conf(spark):
+        return _walk_loop(
+            spark, edges, walk_length, walks_per_vertex, seed, checkpoint_every
+        )
+
+
+def _walk_loop(spark, edges, L, W, seed, ckpt_every):
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Degree-ranked adjacency (v, pick in [0, deg), nbr, nbr_deg) — the
+    # sorted-nbr rank order is the deterministic contract the hash
+    # indexes. Pre-partitioned ONCE by the step join's composite key
+    # (v, pick), so each step shuffles only the O(walks) state, never the
+    # O(E) adjacency, and a step never expands a hub's full fan-out (the
+    # join probes exactly one (v, pick) row per walk — the equi-join
+    # form, not a join-then-filter over deg rows).
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .filter(F.col("v") != F.col("nbr"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("v").orderBy("nbr")
+    base = adj.withColumn("pick", F.row_number().over(w_rank) - 1).withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("v"))
+    )
+    degs = base.select("v", "deg").distinct()
+    # nbr's out-degree rides along so the state always knows deg(cur)
+    # without a per-step degree join; null = dead end.
+    ranked = (
+        base.join(
+            degs.select(F.col("v").alias("nbr"), F.col("deg").alias("nbr_deg")),
+            "nbr",
+            "left",
+        )
+        .select("v", "pick", "nbr", "nbr_deg")
+        .repartition(P, "v", "pick")
+        .localCheckpoint(eager=True)
+    )
+
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("rep")
+    state = (
+        degs.select("v", "deg", replicas)
+        .select(
+            (F.col("v") * W + F.col("rep")).alias("walk_id"),
+            F.col("v").alias("cur"),
+            F.col("deg").alias("cur_deg"),
+            F.array(F.col("v")).alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for t in range(1, L + 1):
+        # hash-derived neighbor index; null cur_deg (dead end) -> null
+        # pick -> the left join misses -> the walk freezes in place
+        choice = F.pmod(
+            F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed)),
+            F.col("cur_deg"),
+        )
+        stepped = (
+            state.withColumn("pick", choice)
+            .join(
+                ranked.select(
+                    F.col("v").alias("cur"), "pick", "nbr", "nbr_deg"
+                ),
+                ["cur", "pick"],
+                "left",
+            )
+            .select(
+                "walk_id",
+                F.coalesce("nbr", "cur").alias("cur"),
+                F.when(F.col("nbr").isNull(), F.col("cur_deg"))
+                .otherwise(F.col("nbr_deg")).alias("cur_deg"),
+                F.when(F.col("nbr").isNull(), F.col("path"))
+                .otherwise(F.concat("path", F.array("nbr"))).alias("path"),
+            )
+        )
+        if t % ckpt_every == 0 or t == L:
+            new_state = stepped.localCheckpoint(eager=True)
+            state.unpersist()
+            state = new_state
+        else:
+            state = stepped
+
+    out = state.select("walk_id", "path")
+    ranked.unpersist()
+    return out

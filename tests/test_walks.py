@@ -1,0 +1,81 @@
+"""Random-walk corpus generator: structural validity (every hop is a real
+edge), exact counts, bit-identical determinism, seed sensitivity,
+dead-end freezing, and first-step uniformity."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from engine.algos.walks import random_walks
+from tests.conftest import edges_df
+
+
+def _paths(df):
+    return {r.walk_id: list(r.path) for r in df.collect()}
+
+
+def test_every_hop_is_an_edge_and_counts_exact(spark):
+    g = nx.gnm_random_graph(50, 200, seed=31, directed=True)
+    e = edges_df(spark, list(g.edges))
+    W, L = 3, 8
+    got = _paths(random_walks(spark, e, walk_length=L, walks_per_vertex=W))
+    starters = {v for v in g.nodes if g.out_degree(v) > 0}
+    assert len(got) == W * len(starters)
+    edge_set = set(g.edges)
+    for wid, path in got.items():
+        assert path[0] == wid // W          # walk starts at its vertex
+        assert len(path) <= L + 1
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edge_set, (wid, path)
+        # a walk shorter than L+1 must have frozen at a dead end
+        if len(path) < L + 1:
+            assert g.out_degree(path[-1]) == 0
+
+
+def test_bit_identical_across_runs(spark):
+    g = nx.gnm_random_graph(30, 90, seed=5, directed=True)
+    e = edges_df(spark, list(g.edges))
+    a = _paths(random_walks(spark, e, walk_length=6, walks_per_vertex=2, seed=9))
+    b = _paths(random_walks(spark, e, walk_length=6, walks_per_vertex=2, seed=9))
+    assert a == b
+
+
+def test_seed_changes_walks(spark):
+    g = nx.gnm_random_graph(30, 120, seed=6, directed=True)
+    e = edges_df(spark, list(g.edges))
+    a = _paths(random_walks(spark, e, walk_length=6, seed=1))
+    b = _paths(random_walks(spark, e, walk_length=6, seed=2))
+    assert a != b
+
+
+def test_dead_end_freezes(spark):
+    pairs = [(0, 1), (1, 2)]  # 2 is a sink
+    got = _paths(random_walks(spark, edges_df(spark, pairs), walk_length=9))
+    assert got[0] == [0, 1, 2]
+    assert got[1] == [1, 2]
+    assert 2 not in got  # sinks have no out-edges, so no walk starts there
+
+
+def test_first_step_roughly_uniform(spark):
+    # hub 0 -> 8 leaves, many replicas: each leaf should get a fair share
+    pairs = [(0, i) for i in range(1, 9)]
+    W = 400
+    got = _paths(
+        random_walks(spark, edges_df(spark, pairs), walk_length=1,
+                     walks_per_vertex=W)
+    )
+    counts = {leaf: 0 for leaf in range(1, 9)}
+    for path in got.values():
+        counts[path[1]] += 1
+    assert sum(counts.values()) == W
+    for leaf, c in counts.items():
+        assert c == pytest.approx(W / 8, rel=0.5), counts
+
+
+def test_validation(spark):
+    e = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(spark, e, walk_length=0)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        random_walks(spark, e, walks_per_vertex=0)
