@@ -76,9 +76,13 @@ def _walk_loop(spark, edges, L, W, seed, ckpt_every):
         .distinct()
     )
     w_rank = Window.partitionBy("v").orderBy("nbr")
-    base = adj.withColumn("pick", F.row_number().over(w_rank) - 1).withColumn(
-        "deg", F.count(F.lit(1)).over(Window.partitionBy("v"))
-    )
+    # pick is LONG to match the state side's pmod(xxhash64)'s type — a
+    # type mismatch would wrap the join key in a cast, invalidating the
+    # (v, pick) partitioning and reshuffling the adjacency every step
+    # (caught by the plan assertion in test_walks.py)
+    base = adj.withColumn(
+        "pick", (F.row_number().over(w_rank) - 1).cast("long")
+    ).withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("v")))
     degs = base.select("v", "deg").distinct()
     # nbr's out-degree rides along so the state always knows deg(cur)
     # without a per-step degree join; null = dead end.

@@ -79,3 +79,60 @@ def test_validation(spark):
         random_walks(spark, e, walk_length=0)
     with pytest.raises(ValueError, match="walks_per_vertex"):
         random_walks(spark, e, walks_per_vertex=0)
+
+
+def test_step_join_does_not_reshuffle_adjacency(spark):
+    """The scale claim in walks.py: the per-step join shuffles only the
+    O(walks) state — the (v, pick)-partitioned adjacency side must show
+    no Exchange. Reconstruct one step's plan exactly as _walk_loop builds
+    it and assert the adjacency branch is exchange-free. Must run under
+    iterative_conf (AQE off), the planning context the loop actually
+    uses — AQE's initial plans do not credit a checkpointed RDD's
+    partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.algos.pagerank import iterative_conf
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges_df(spark, [(i, (i * 3 + 1) % 20) for i in range(20)])
+    ctx = iterative_conf(spark)
+    ctx.__enter__()
+    adj = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .filter(F.col("v") != F.col("nbr"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("v").orderBy("nbr")
+    base = adj.withColumn(
+        "pick", (F.row_number().over(w_rank) - 1).cast("long")
+    ).withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("v")))
+    degs = base.select("v", "deg").distinct()
+    ranked = (
+        base.join(
+            degs.select(F.col("v").alias("nbr"), F.col("deg").alias("nbr_deg")),
+            "nbr", "left",
+        )
+        .select("v", "pick", "nbr", "nbr_deg")
+        .repartition(P, "v", "pick")
+        .localCheckpoint(eager=True)
+    )
+    state = degs.select(
+        F.col("v").alias("walk_id"), F.col("v").alias("cur"),
+        F.col("deg").alias("cur_deg"), F.array("v").alias("path"),
+    ).localCheckpoint(eager=True)
+    step = state.withColumn(
+        "pick",
+        F.pmod(F.xxhash64("walk_id", F.lit(1), F.lit(7)), F.col("cur_deg")),
+    ).join(
+        ranked.select(F.col("v").alias("cur"), "pick", "nbr", "nbr_deg"),
+        ["cur", "pick"], "left",
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    ctx.__exit__(None, None, None)
+    # exactly one Exchange: the state side keyed by (cur, pick); the
+    # checkpointed adjacency contributes none
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    ranked.unpersist()
+    state.unpersist()
