@@ -1,0 +1,160 @@
+"""Betweenness centrality from a pivot sample — Brandes' algorithm
+(Brandes 2001, "A faster algorithm for betweenness centrality";
+pivot-sampling per Brandes & Pich 2007 — public knowledge), run for ALL
+pivots simultaneously as one set-oriented computation. Exact betweenness
+is O(V·E) and unthinkable at 10^9 vertices; the standard practice is a
+pivot sample, and the estimate's error decays as 1/sqrt(#pivots).
+
+Two phases, both driver-controlled DataFrame loops with state keyed
+(s, vid) — s the pivot, so one Spark job per BFS layer covers every
+pivot's search at once (k pivots multiply the state rows, never the
+number of jobs):
+
+  forward  — BFS layers with shortest-path counts: frontier at depth d
+             expands along out-edges; a vertex first reached at depth
+             d+1 gets sigma = sum of its depth-d predecessors' sigmas
+             (anti-join against the settled set = the visited check).
+  backward — dependency accumulation by DESCENDING depth: delta(v) +=
+             sigma_v/sigma_w * (1 + delta_w) summed over DAG successors
+             w at depth+1; after layer d is processed its deltas are
+             final. betweenness(v) = sum over pivots s != v of
+             delta(s, v).
+
+Oracle: ``networkx.betweenness_centrality_subset(G, sources=pivots,
+targets=all, normalized=False)`` — with pivots = all vertices this IS
+exact betweenness (tests/test_betweenness.py, exact rationals in double).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.algos.pagerank import iterative_conf
+
+
+@dataclass
+class BetweennessResult:
+    scores: DataFrame  # (vid, betweenness) — vertices with score > 0 or settled
+    pivots: int
+    max_depth: int
+
+
+def betweenness(
+    spark: SparkSession,
+    edges: DataFrame,
+    pivots: DataFrame | None = None,
+    max_iter: int = 100,
+) -> BetweennessResult:
+    """Accumulated Brandes dependency over the pivot set (every vertex if
+    ``pivots`` is None — exact betweenness, affordable only on small
+    graphs; pass a sampled (vid) DataFrame at scale)."""
+    with iterative_conf(spark):
+        return _brandes(spark, edges, pivots, max_iter)
+
+
+def _ckpt(df):
+    return df.localCheckpoint(eager=True)
+
+
+def _brandes(spark, edges, pivots, max_iter):
+    e = _ckpt(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    if pivots is None:
+        pivots = verts
+    piv = pivots.select(F.col("vid").alias("s")).distinct()
+    n_piv = piv.count()
+
+    # -------- forward: settled (s, vid, dist, sigma), frontier = last layer
+    settled = _ckpt(
+        piv.select(
+            "s", F.col("s").alias("vid"), F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    frontier = settled
+    depth = 0
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "vid"), "vid")
+            .groupBy("s", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled.select("s", "vid"), ["s", "vid"], "anti")
+            .select("s", "vid", F.lit(depth).alias("dist"), "sigma")
+        )
+        nxt = _ckpt(nxt)
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            depth -= 1
+            break
+        prev_settled, prev_frontier = settled, frontier
+        settled = _ckpt(settled.unionByName(nxt))
+        frontier = nxt
+        prev_settled.unpersist()
+        if prev_frontier is not prev_settled:
+            prev_frontier.unpersist()
+
+    # -------- backward: dependency accumulation by DESCENDING depth.
+    # Layer-local: depth-d deltas depend only on depth-(d+1) deltas, so
+    # each round touches two layers, never the whole (s, vid) state; the
+    # finalized layers union at the end.
+    done_layers: list[DataFrame] = []
+    above = _ckpt(
+        settled.filter(F.col("dist") == depth)
+        .select("s", "vid", "sigma", F.lit(0.0).alias("delta"))
+    )
+    done_layers.append(above)
+    for d in range(depth - 1, -1, -1):
+        layer = settled.filter(F.col("dist") == d)
+        contrib = (
+            layer.join(e.withColumnRenamed("src", "vid"), "vid")
+            .join(
+                above.select(
+                    "s", F.col("vid").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["s", "dst"],
+            )
+            .groupBy("s", "vid")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                ).alias("dd")
+            )
+        )
+        above = _ckpt(
+            layer.select("s", "vid", "sigma")
+            .join(contrib, ["s", "vid"], "left")
+            .select("s", "vid", "sigma", F.coalesce("dd", F.lit(0.0)).alias("delta"))
+        )
+        done_layers.append(above)
+
+    all_deltas = done_layers[0]
+    for df in done_layers[1:]:
+        all_deltas = all_deltas.unionByName(df)
+    scores = (
+        all_deltas.filter(F.col("s") != F.col("vid"))  # endpoints excluded
+        .groupBy("vid")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    out = _ckpt(
+        verts.join(scores, "vid", "left").select(
+            "vid", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+        )
+    )
+    for df in done_layers:
+        df.unpersist()
+    settled.unpersist()
+    e.unpersist()
+    return BetweennessResult(out, n_piv, depth)
