@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from engine.datagen import documents_as_source, source_files  # noqa: E402
 from engine.derive import build_graph, hash_invariant_violations  # noqa: E402
 from engine.session import get_spark  # noqa: E402
+from engine.algos.betweenness import betweenness  # noqa: E402
 from engine.algos.cc import connected_components  # noqa: E402
 from engine.algos.kcore import core_numbers  # noqa: E402
 from engine.algos.linkpred import link_scores  # noqa: E402
@@ -224,6 +225,20 @@ def main() -> None:
     q["link_scores_candidates"] = time.monotonic() - t0
     extra["link_pairs_scored"] = n_scored
     log(f"link_scores: {n_scored} pairs in {q['link_scores_candidates']:.1f}s")
+
+    # pivot-sampled betweenness: 4 pivots, all in one layered BFS + one
+    # descending accumulation (job count scales with depth, not pivots)
+    t0 = time.monotonic()
+    piv = (
+        e2.select(F.col("src").alias("vid")).distinct()
+        .orderBy("vid").limit(4)
+    )
+    bw = betweenness(spark, e2, pivots=piv)
+    bw.scores.count()
+    q["betweenness_4pivots"] = time.monotonic() - t0
+    extra["betweenness_depth"] = bw.max_depth
+    bw.scores.unpersist()
+    log(f"betweenness: depth {bw.max_depth} in {q['betweenness_4pivots']:.1f}s")
 
     # HyperBall neighborhood function (directed balls; the structural
     # graph is a depth-2 DAG so this converges in a few rounds — the cost
