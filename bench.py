@@ -108,8 +108,9 @@ def main() -> None:
     # a bucketBy(src) table ONCE (the one-time cost a production deployment
     # pays at ingest), then run the loop with edges_pre_partitioned=True —
     # the scan exposes HashPartitioning(src) so prep runs with ZERO O(E)
-    # exchanges (plan-asserted in test_graph_layout.py; vids stay long on
-    # this path — narrowing would invalidate the bucket partitioning).
+    # exchanges (plan-asserted in test_graph_layout.py; save_edges_bucketed
+    # narrows vids to int32 at save time, so the bucketed table is already
+    # in the narrow layout the loop wants).
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spark.sql("DROP TABLE IF EXISTS bench_edges_bucketed")
     from engine.graph import load_edges_bucketed, save_edges_bucketed

@@ -154,6 +154,7 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n_old = und.count()
+        stable = False
         for _ in range(max_iter):
             deg = (
                 und.select(F.col("a").alias("v"))
@@ -172,6 +173,17 @@ def k_core(
             old, und = und, pruned
             old.unpersist()
             if n_new == n_old:
+                stable = True
                 break
             n_old = n_new
+        if not stable:
+            # a partially-peeled edge set is NOT the k-core and there is
+            # no flag channel on a bare DataFrame return — fail loudly
+            # (peel depth can reach O(V): a path graph sheds only its two
+            # endpoints per round)
+            und.unpersist()
+            raise RuntimeError(
+                f"k_core(k={k}) did not reach its peel fixpoint within "
+                f"max_iter={max_iter} rounds; raise max_iter"
+            )
         return und

@@ -57,14 +57,28 @@ def _degrees(adj: DataFrame) -> DataFrame:
 
 
 def _finish(cn: DataFrame, deg: DataFrame) -> DataFrame:
-    """Attach endpoint degrees and derive jaccard; cn = (a, b, common, aa)."""
+    """Attach endpoint degrees and derive jaccard; cn = (a, b, common, aa).
+
+    LEFT joins: a candidate pair may reference a vertex with no
+    (non-self) edges at all — it keeps its row with degree 0 and scores
+    0.0 (the one-row-per-candidate contract); an empty neighborhood
+    union yields jaccard 0, matching networkx."""
+    denom = F.col("da") + F.col("db") - F.col("common")
     return (
-        cn.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        cn.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")),
+                "a", "left")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")),
+              "b", "left")
         .select(
             "a", "b", "common",
-            (F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
-             ).alias("jaccard"),
+            F.coalesce("da", F.lit(0)).alias("da"),
+            F.coalesce("db", F.lit(0)).alias("db"),
+            "aa",
+        )
+        .select(
+            "a", "b", "common",
+            F.when(denom > 0, F.col("common") / denom)
+            .otherwise(F.lit(0.0)).alias("jaccard"),
             F.col("aa").alias("adamic_adar"),
         )
     )

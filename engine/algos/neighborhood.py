@@ -191,6 +191,7 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
         lambda i: F.when(i == bucket, rank).otherwise(F.lit(0)).cast("tinyint"),
     )
     state = verts.select("vid", regs.alias("regs")).localCheckpoint(eager=True)
+    verts.unpersist()  # only needed to build e and the initial state
 
     def stats(df) -> tuple[int, float]:
         # one scalar job per round: exact register checksum + N(t) estimate

@@ -42,7 +42,9 @@ from engine.algos.pagerank import iterative_conf
 class SCCResult:
     labels: DataFrame  # (vid, label) — label = min vid of the component
     outer_rounds: int
-    converged: bool
+    converged: bool  # False => PARTIAL: labels cover only the vertices
+    #                  assigned before an inner fixpoint hit max_inner;
+    #                  every emitted label is still correct
 
 
 def strongly_connected_components(
@@ -97,6 +99,7 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
 
         # 1. TRIM to fixpoint: in/out-degree-0 vertices are their own SCC
         # (min-vid canonical label = the vid itself).
+        trim_done = False
         for _ in range(max_inner):
             srcs = live_e.select(F.col("src").alias("vid")).distinct()
             dsts = live_e.select(F.col("dst").alias("vid")).distinct()
@@ -104,6 +107,7 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
             trimmed = live_v.join(both, "vid", "anti")
             n_trim = trimmed.limit(1).count()
             if n_trim == 0:
+                trim_done = True
                 break
             add(trimmed.select("vid", F.col("vid").alias("label")))
             new_v = _ckpt(live_v.join(both, "vid", "semi"))
@@ -116,9 +120,19 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
         if live_v.limit(1).count() == 0:
             converged = True
             break
+        if not trim_done:
+            # exhausted without a trim fixpoint: labeling from a partial
+            # trim is still CORRECT (only fully-trimmed singletons were
+            # assigned), but report non-convergence and stop rather than
+            # risk a stale-color capture below
+            break
 
-        # 2. COLOR: forward max-propagation to fixpoint.
+        # 2. COLOR: forward max-propagation to fixpoint. An unconverged
+        # coloring would produce FALSE roots (vertices that merely never
+        # saw the true max) and silently wrong components, so exhaustion
+        # aborts the round with converged=False instead of capturing.
         color = _ckpt(live_v.select("vid", F.col("vid").alias("color")))
+        color_done = False
         for _ in range(max_inner):
             pushed = (
                 live_e.join(
@@ -143,7 +157,12 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
             color.unpersist()
             color = new_color
             if delta == 0:
+                color_done = True
                 break
+
+        if not color_done:
+            color.unpersist()
+            break
 
         # 3. CAPTURE: backward BFS from every root inside its color class.
         # member(vid, root): vid is in the SCC of `root`.
@@ -158,6 +177,7 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
             .select(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("cs").alias("color"))
         )
         frontier = member
+        capture_done = False
         for _ in range(max_inner):
             step = (
                 ce.join(frontier.select(F.col("vid").alias("u"), "root"), "u")
@@ -168,6 +188,7 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
             )
             step = _ckpt(step)
             if step.limit(1).count() == 0:
+                capture_done = True
                 step.unpersist()
                 break
             prev_m, prev_f = member, frontier
@@ -176,6 +197,10 @@ def _scc_loop(spark, edges, vertices, max_outer, max_inner):
             prev_m.unpersist()
             if prev_f is not prev_m:
                 prev_f.unpersist()
+
+        if not capture_done:
+            member.unpersist(); ce.unpersist(); color.unpersist()
+            break
 
         # canonical label = min vid of the component (root vid is the MAX
         # by construction of the coloring)

@@ -71,10 +71,13 @@ def _sssp_loop(spark, edges, sources, weighted, max_iter, max_dist):
         .repartition(P, "src")
         .localCheckpoint(eager=True)
     )
-    neg = e.filter(F.col("w") < 0).limit(1).count()
-    if neg:
+    bad = e.filter(F.col("w").isNull() | (F.col("w") < 0)).limit(1).count()
+    if bad:
         e.unpersist()
-        raise ValueError("shortest_paths requires non-negative edge weights")
+        raise ValueError(
+            "shortest_paths requires non-null, non-negative edge weights "
+            "(a NULL weight would silently never relax its edge)"
+        )
 
     dist = (
         sources.select("vid").distinct()

@@ -81,3 +81,11 @@ def test_k_core_subgraph(spark, k):
 def test_k_core_empty_when_k_exceeds_degeneracy(spark):
     pairs = [(0, 1), (1, 2), (2, 0)]  # triangle: degeneracy 2
     assert k_core(spark, edges_df(spark, pairs), 3).count() == 0
+
+
+def test_k_core_raises_on_peel_exhaustion(spark):
+    """A partial peel is not the k-core; exhausting max_iter must fail
+    loudly (code-review regression: it used to return the partial set)."""
+    pairs = [(i, i + 1) for i in range(12)]  # path: sheds 2 vertices/round
+    with pytest.raises(RuntimeError, match="peel fixpoint"):
+        k_core(spark, edges_df(spark, pairs), k=2, max_iter=2)

@@ -104,3 +104,13 @@ def test_min_common_threshold(spark):
     e = edges_df(spark, k4)
     assert link_scores(spark, e, min_common=3).count() == 0
     assert link_scores(spark, e, min_common=2).count() == 6
+
+
+def test_candidate_with_graphless_endpoint_kept_at_zero(spark):
+    """A candidate pair naming a vertex with no edges must keep its row
+    with all-zero scores (code-review regression: the degree join used to
+    be inner and silently dropped it)."""
+    e = edges_df(spark, [(0, 1)])
+    pairs = spark.createDataFrame([(0, 5)], "a long, b long")
+    got = _collect(link_scores(spark, e, pairs=pairs))
+    assert got == {(0, 5): (0, 0.0, 0.0)}

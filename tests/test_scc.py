@@ -69,3 +69,22 @@ def test_scc_labels_partition_every_vertex_once(spark):
     rows = res.labels.collect()
     vids = [r.vid for r in rows]
     assert len(vids) == len(set(vids))  # each vertex assigned exactly once
+
+
+def test_inner_exhaustion_reports_nonconvergence(spark):
+    """A long cycle whose coloring cannot reach fixpoint within max_inner
+    must come back converged=False with NO wrong labels (code-review
+    regression: false roots used to be captured silently)."""
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    res = strongly_connected_components(
+        spark, edges_df(spark, pairs), max_inner=3
+    )
+    assert not res.converged
+    # nothing assigned: trimming removes nothing and coloring never settled
+    assert res.labels.count() == 0
+    # with room to converge the same graph is one component
+    res2 = strongly_connected_components(spark, edges_df(spark, pairs))
+    assert res2.converged
+    got = {r.vid: r.label for r in res2.labels.collect()}
+    assert got == {v: 0 for v in range(n)}

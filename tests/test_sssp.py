@@ -80,3 +80,12 @@ def test_negative_weight_rejected(spark):
     pairs = [(0, 1, -1.0)]
     with pytest.raises(ValueError, match="non-negative"):
         shortest_paths(spark, edges_df(spark, pairs), _src_df(spark, [0]))
+
+
+def test_null_weight_rejected(spark):
+    rows = [(0, 1, "x", 1.0), (1, 2, "x", None)]
+    e = spark.createDataFrame(
+        rows, "src long, dst long, rel string, weight double"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        shortest_paths(spark, e, _src_df(spark, [0]))
