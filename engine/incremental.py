@@ -200,3 +200,81 @@ def initial_state(
     vertices = assign_vertex_ids(names).persist(StorageLevel.MEMORY_AND_DISK)
     edges = encode_edges(name_edges, vertices)
     return vertices, edges, name_edges, content_membership(source)
+
+
+def merge_components(
+    spark,
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    new_vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintained connected components under edge GROWTH.
+
+    New edges can only MERGE components, never split them — so today's
+    labels come from yesterday's plus the batch in O(batch + #components)
+    instead of an O(E) full recomputation: map each new edge's endpoints
+    through the old labels (unseen vids label themselves), contract to
+    the label-level edge set (tiny — one node per touched component),
+    run the ordinary large-star/small-star loop on THAT, and compose the
+    relabeling back over the old assignment. Labels stay canonical
+    min-vid: every old label is the min vid of its component, so the min
+    over merged labels is the min vid of the merged component.
+
+    VALID ONLY when edges were added, never removed — true for the
+    structural pipeline (``update_graph``'s dedup-union is monotone). A
+    cooccur cap-crossing RETRACTS edges (see ``merge_cooccur``), which
+    can split a component; after a retracting fold, recompute with
+    ``engine.algos.cc.connected_components``. Equivalence to the full
+    recomputation on grown graphs is tested (test_incremental.py).
+
+    ``new_vertices``: optional (vid) rows to include as isolated
+    vertices (e.g. the post-fold vertex table); otherwise only vids seen
+    in ``prev_labels`` or ``new_edges`` get labels.
+    """
+    from engine.algos.cc import connected_components
+
+    lbl = prev_labels.select("vid", "label")
+    ends = new_edges.select("src", "dst")
+    mapped = (
+        ends.join(
+            lbl.select(F.col("vid").alias("src"), F.col("label").alias("ls")),
+            "src", "left",
+        )
+        .join(
+            lbl.select(F.col("vid").alias("dst"), F.col("label").alias("ld")),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce("ls", F.col("src")).alias("src"),
+            F.coalesce("ld", F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    contracted = connected_components(spark, mapped)
+    remap = contracted.labels.select(
+        F.col("vid").alias("label"), F.col("label").alias("nl")
+    )
+    # old vertices re-mapped; endpoints unseen before enter as their own
+    # label and pick up the contracted result directly
+    old_part = lbl.join(remap, "label", "left").select(
+        "vid", F.coalesce("nl", F.col("label")).alias("label")
+    )
+    new_vids = (
+        ends.select(F.col("src").alias("vid"))
+        .unionByName(ends.select(F.col("dst").alias("vid")))
+        .distinct()
+        .join(lbl.select("vid"), "vid", "anti")
+    )
+    new_part = new_vids.join(
+        remap.select(F.col("label").alias("vid"), "nl"), "vid", "left"
+    ).select("vid", F.coalesce("nl", F.col("vid")).alias("label"))
+    out = old_part.unionByName(new_part)
+    if new_vertices is not None:
+        extra = (
+            new_vertices.select("vid")
+            .join(out.select("vid"), "vid", "anti")
+            .select("vid", F.col("vid").alias("label"))
+        )
+        out = out.unionByName(extra)
+    return out

@@ -115,3 +115,39 @@ def test_duplicate_batch_is_a_noop_on_edges(spark, split_source):
     want = _edge_set(ne)
     v2, e2, ne2, m2 = update_graph(v, ne, m, p1, cap=cap, log_dropped=False)
     assert _edge_set(ne2) == want
+
+
+def test_merge_components_equals_full_cc(spark):
+    """Incremental component maintenance under edge growth: yesterday's
+    labels + the batch's new edges must equal a full recomputation."""
+    import networkx as nx
+    from engine.algos.cc import connected_components
+    from engine.incremental import merge_components
+    from tests.conftest import edges_df
+
+    g = nx.gnm_random_graph(80, 90, seed=41)  # sparse: many components
+    all_edges = [(a, b) for a, b in g.edges]
+    batch1, batch2 = all_edges[:60], all_edges[60:]
+
+    labels = connected_components(spark, edges_df(spark, batch1)).labels
+    inc = merge_components(spark, labels, edges_df(spark, batch2))
+    got = {r.vid: r.label for r in inc.collect()}
+
+    full = connected_components(spark, edges_df(spark, all_edges)).labels
+    want = {r.vid: r.label for r in full.collect()}
+    assert got == want
+
+
+def test_merge_components_new_vertices_and_isolates(spark):
+    from engine.algos.cc import connected_components
+    from engine.incremental import merge_components
+    from tests.conftest import edges_df, vertices_df
+
+    labels = connected_components(spark, edges_df(spark, [(0, 1), (2, 3)])).labels
+    # batch: bridge the two components via a brand-new vertex 10
+    inc = merge_components(
+        spark, labels, edges_df(spark, [(1, 10), (10, 2)]),
+        new_vertices=vertices_df(spark, [0, 1, 2, 3, 10, 99]).select("vid"),
+    )
+    got = {r.vid: r.label for r in inc.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 99: 99}
