@@ -134,3 +134,52 @@ def _lpa_loop(spark, edges, vertices, max_iter):
     nbrs.unpersist()
     vids.unpersist()
     return LPAResult(labels, it, converged)
+
+
+def modularity(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> float:
+    """Newman modularity Q of a community assignment over the undirected
+    simple view of ``edges`` (the same view the LPA loop propagates on) —
+    the standard quality score for the labels this module produces
+    (Newman & Girvan 2004 — public knowledge):
+
+        Q = sum_c [ L_c / m  -  (deg_c / 2m)^2 ]
+
+    with L_c = intra-community edge count, deg_c = summed degrees of the
+    community's vertices, m = total edges. Three aggregates and one
+    scalar collect — no iteration. Matches
+    ``networkx.algorithms.community.modularity`` exactly
+    (tests/test_lpa.py)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select("vid", "label")
+    lab_a = lab.select(F.col("vid").alias("a"), F.col("label").alias("la"))
+    lab_b = lab.select(F.col("vid").alias("b"), F.col("label").alias("lb"))
+    tagged = und.join(lab_a, "a").join(lab_b, "b")
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    deg = (
+        tagged.select(F.col("la").alias("label"))
+        .unionByName(tagged.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("deg_c"))
+    )
+    per_c = deg.join(intra, "label", "left").select(
+        F.coalesce("l_c", F.lit(0)).alias("l_c"), "deg_c"
+    )
+    row = per_c.agg(
+        F.sum("l_c").alias("sl"), F.sum(F.col("deg_c") * F.col("deg_c")).alias("sd2")
+    ).collect()[0]
+    m = und.count()
+    if m == 0:
+        return 0.0
+    return float(row["sl"]) / m - float(row["sd2"]) / (4.0 * m * m)

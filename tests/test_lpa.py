@@ -52,3 +52,45 @@ def test_corpus_graph_matches_oracle(spark, tiny_graph):
     vids = [r.vid for r in v.select("vid").collect()]
     pairs = [(r.src, r.dst) for r in e.select("src", "dst").collect()]
     assert ours == lpa_oracle(vids, pairs, max_iter=30)
+
+
+def test_modularity_matches_networkx(spark):
+    import networkx as nx
+    from engine.algos.lpa import label_propagation, modularity
+
+    # two dense blobs + a sparse bridge: clear community structure
+    pairs = (
+        [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        + [(i, j) for i in range(6, 12) for j in range(i + 1, 12)]
+        + [(0, 6)]
+    )
+    e = edges_df(spark, pairs)
+    res = label_propagation(spark, e)
+    labels = {r.vid: r.label for r in res.labels.collect()}
+    got = modularity(spark, e, res.labels)
+
+    g = nx.Graph(pairs)
+    comms = {}
+    for v, l in labels.items():
+        comms.setdefault(l, set()).add(v)
+    want = nx.algorithms.community.modularity(g, list(comms.values()))
+    assert got == pytest.approx(want, abs=1e-12)
+    assert got > 0.3  # the two blobs are a genuinely modular split
+
+
+def test_modularity_single_community_is_zero_minus_degree_term(spark):
+    import networkx as nx
+    from engine.algos.lpa import modularity
+    from pyspark.sql import functions as F
+
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    e = edges_df(spark, pairs)
+    one = (
+        e.select(F.col("src").alias("vid")).unionByName(
+            e.select(F.col("dst").alias("vid"))
+        ).distinct().select("vid", F.lit(0).alias("label"))
+    )
+    got = modularity(spark, e, one)
+    g = nx.Graph(pairs)
+    want = nx.algorithms.community.modularity(g, [set(g.nodes)])
+    assert got == pytest.approx(want, abs=1e-12)
