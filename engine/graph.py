@@ -251,3 +251,70 @@ def save_edges_bucketed(
 
 def load_edges_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table).select("src", "dst", "rel", "weight")
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_vertices) over the undirected simple view — the
+    first-look profile of any link graph (how heavy is the tail, where do
+    the hubs start). Two aggregates; matches ``networkx.degree_histogram``
+    for every non-zero degree (tests/test_graph_layout.py)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def degree_assortativity(edges: DataFrame) -> float:
+    """Pearson degree-degree correlation over the undirected simple view
+    (Newman 2002, "Assortative mixing in networks" — public knowledge):
+    do hubs link to hubs (r > 0) or to leaves (r < 0)? Computed as plain
+    moment aggregates over the symmetric edge list (each edge contributes
+    both orientations, the convention ``networkx.
+    degree_assortativity_coefficient`` uses) — one join, one scalar job.
+    Returns nan for degree-regular graphs (zero variance), like networkx.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    paired = (
+        sym.join(deg.select(F.col("vid").alias("a"), F.col("deg").alias("dx")), "a")
+        .join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("dy")), "b")
+    )
+    row = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    ).collect()[0]
+    n = float(row["n"])
+    if n == 0:
+        return float("nan")
+    cov = row["sxy"] / n - (row["sx"] / n) * (row["sy"] / n)
+    vx = row["sxx"] / n - (row["sx"] / n) ** 2
+    vy = row["syy"] / n - (row["sy"] / n) ** 2
+    denom = (vx * vy) ** 0.5
+    if denom == 0:
+        return float("nan")
+    return float(cov / denom)

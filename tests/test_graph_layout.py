@@ -144,3 +144,32 @@ def test_bucketed_table_no_edge_exchange(spark, tiny_graph):
         [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12
     )
     spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
+
+
+def test_degree_histogram_matches_networkx(spark, tiny_graph, tiny_nx):
+    from engine.graph import degree_histogram
+
+    _, e = tiny_graph
+    got = {r.degree: r.n_vertices for r in degree_histogram(e).collect()}
+    import networkx as nx
+    hist = nx.degree_histogram(tiny_nx.to_undirected())
+    want = {d: c for d, c in enumerate(hist) if c and d > 0}
+    assert got == want
+
+
+def test_degree_assortativity_matches_networkx(spark):
+    import networkx as nx
+    import pytest
+    from engine.graph import degree_assortativity
+    from tests.conftest import edges_df
+
+    g = nx.gnm_random_graph(60, 150, seed=33)
+    got = degree_assortativity(edges_df(spark, list(g.edges)))
+    want = nx.degree_assortativity_coefficient(g)
+    assert got == pytest.approx(want, abs=1e-9)
+
+    # star: perfectly disassortative
+    star = [(0, i) for i in range(1, 8)]
+    got_star = degree_assortativity(edges_df(spark, star))
+    want_star = nx.degree_assortativity_coefficient(nx.Graph(star))
+    assert got_star == pytest.approx(want_star, abs=1e-9)
