@@ -107,3 +107,56 @@ def _per_vertex(spark, edges):
     return verts.join(counts, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def clustering_coefficients(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(vid, clustering) — local clustering coefficient of the undirected
+    simple view: c(v) = triangles(v) / C(deg(v), 2), 0 where deg < 2.
+    One projection over the per-vertex triangle counts joined with
+    degrees; matches ``networkx.clustering`` exactly (rationals with
+    small denominators evaluate identically in double)."""
+    with iterative_conf(spark):
+        tri = _per_vertex(spark, edges)
+        und = (
+            edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        deg = (
+            und.select(F.col("a").alias("vid"))
+            .unionByName(und.select(F.col("b").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        possible = F.col("deg") * (F.col("deg") - 1) / 2.0
+        return tri.join(deg, "vid", "left").select(
+            "vid",
+            F.when(F.coalesce("deg", F.lit(0)) >= 2,
+                   F.col("triangles") / possible)
+            .otherwise(F.lit(0.0)).alias("clustering"),
+        )
+
+
+def transitivity(spark: SparkSession, edges: DataFrame) -> float:
+    """Global transitivity 3*triangles / #wedges of the undirected simple
+    view (``networkx.transitivity``); 0.0 for wedge-free graphs."""
+    with iterative_conf(spark):
+        tri = _count(spark, edges)
+        und = (
+            edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        deg = (
+            und.select(F.col("a").alias("vid"))
+            .unionByName(und.select(F.col("b").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        row = deg.agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("wedges")
+        ).collect()[0]
+        wedges = float(row["wedges"] or 0.0)
+        return 3.0 * tri / wedges if wedges > 0 else 0.0

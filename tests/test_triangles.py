@@ -46,3 +46,32 @@ def test_random_graphs_exact(spark):
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         g = nx_digraph(range(n), [(a, b, 1.0) for a, b in pairs])
         assert triangle_count(spark, edges_df(spark, pairs)) == triangles_oracle(g)
+
+
+def test_clustering_coefficients_match_networkx(spark):
+    import networkx as nx
+    import pytest
+    from engine.algos.triangles import clustering_coefficients
+
+    g = nx.gnm_random_graph(50, 160, seed=37)
+    got = {
+        r.vid: r.clustering
+        for r in clustering_coefficients(spark, edges_df(spark, list(g.edges))).collect()
+    }
+    want = nx.clustering(g)
+    want = {v: c for v, c in want.items() if g.degree(v) > 0}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_transitivity_matches_networkx(spark):
+    import networkx as nx
+    import pytest
+    from engine.algos.triangles import transitivity
+
+    g = nx.gnm_random_graph(40, 120, seed=3)
+    got = transitivity(spark, edges_df(spark, list(g.edges)))
+    assert got == pytest.approx(nx.transitivity(g), abs=1e-12)
+    # wedge-free graph (single edge): defined as 0
+    assert transitivity(spark, edges_df(spark, [(0, 1)])) == 0.0
