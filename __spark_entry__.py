@@ -97,17 +97,21 @@ def _q_sha256(spark, sf):
     )
 
 
-def _q_split(spark, sf):
-    return _tbl(spark, sf, "orders").select(
-        "o_orderkey",
-        F.element_at(F.split(F.col("o_orderpriority"), "-"), 1).alias("prio_num"),
+def _q_strings(spark, sf):
+    """f2: split_part AND uri-concat string functions in one union result —
+    the former f2/f3 rows merged (r4, same consolidation precedent as
+    u2/j4/t2) to free a 50-window slot for g13_scc (VERDICT r3 item 1)."""
+    sp = _tbl(spark, sf, "orders").select(
+        F.lit("split").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.element_at(F.split(F.col("o_orderpriority"), "-"), 1).alias("val"),
     )
-
-
-def _q_concat(spark, sf):
-    return _tbl(spark, sf, "nation").select(
-        "n_nationkey", F.concat_ws(":", F.lit("nation"), F.col("n_name")).alias("uri")
+    co = _tbl(spark, sf, "nation").select(
+        F.lit("concat").alias("op"),
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.concat_ws(":", F.lit("nation"), F.col("n_name")).alias("val"),
     )
+    return sp.unionByName(co)
 
 
 def _q_datemath(spark, sf):
@@ -387,6 +391,42 @@ def _q_g_sssp(spark, sf):
     return res.distances.join(v.select("vid", "name"), "vid").select("name", "dist")
 
 
+def _q_g_scc(spark, sf):
+    """g13: strongly connected components (engine.algos.scc — Orzan
+    coloring+trim) over a deterministic digraph derived from documents: one
+    functional out-edge per doc (affine map mod N — a rho-shaped graph whose
+    cycles are the SCCs) plus a sparse second edge set (every 13th doc) that
+    merges several cycles into one ~100-vertex component. At sf0.01 this
+    yields 374 SCCs, the largest of size 108 — nontrivial mutual-reachability
+    structure, value-verified by a recursive-CTE closure oracle (the same
+    family as g5/g8; V^2 is bounded at oracle scale)."""
+    from engine.algos.scc import strongly_connected_components
+
+    docs = _tbl(spark, sf, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + F.col("n_chars")) % n).alias("dst"),
+    )
+    e2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    # every edge endpoint gets a label, including vertices whose only edge
+    # is a self-loop (the SCC loop drops src==dst edges; the oracle's
+    # vertex set is the endpoint union)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    res = strongly_connected_components(spark, edges, verts)
+    if not res.converged:
+        raise RuntimeError("g13: SCC did not converge at harness scale")
+    return res.labels.select("vid", "label")
+
+
 def _q_g_personalized_pr(spark, sf):
     """Verum's topic-sensitive scoring: teleport mass on one repo's vertex."""
     v, e = _graph(spark, sf)
@@ -459,9 +499,10 @@ def _q_d_jaccard(spark, sf):
     Candidates = unordered pairs sharing >= 2 distinct 3-gram shingles —
     exact and DuckDB-expressible, so the verify step gets a value-level
     oracle (VERDICT r1 item 3; the round-1 form fed minhash candidates,
-    whose xxhash64 banding DuckDB cannot mirror — minhash keeps its own
-    rows-only entry at d3). The shared-shingle join is the ORACLE-SCALE
-    candidate generator; production uses d3's banded LSH.
+    whose xxhash64 banding DuckDB cannot mirror — d3 has since switched to
+    the portable md5-family hash and is a full value mirror). The
+    shared-shingle join is the ORACLE-SCALE candidate generator; production
+    uses d3's banded LSH.
     """
     docs = _tbl(spark, sf, "documents")
     sh = D._shingles(docs, 3)
@@ -624,14 +665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2 item 2): p1/w1 retired (projection is exercised by every query; g2's
     vid assignment IS a value-verified row_number), t3 merged into t2,
     m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added,
-    u3 merged into u2 to make room for g11 (k-core + link scores), and
-    j5 merged into j4 to make room for g12 (weighted SSSP)."""
+    u3 merged into u2 to make room for g11 (k-core + link scores),
+    j5 merged into j4 to make room for g12 (weighted SSSP), and f3 merged
+    into f2 (r4) to make room for g13 (SCC)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
         "f1_sha256": _q_sha256,
-        "f2_split": _q_split,
-        "f3_concat": _q_concat,
+        "f2_strings": _q_strings,
         "f5_datemath": _q_datemath,
         "f6_json": _q_json,
         # B.3 joins
@@ -667,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_scoring_projection": _q_g_scoring_projection,
         "g11_density": _q_g_density,
         "g12_sssp": _q_g_sssp,
+        "g13_scc": _q_g_scc,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1166,12 +1208,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity > 45 AND l_returnflag = 'R'"
         ),
         "f1_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
-        "f2_split": (
-            "SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_num "
-            "FROM orders"
-        ),
-        "f3_concat": (
-            "SELECT n_nationkey, 'nation' || ':' || n_name AS uri FROM nation"
+        "f2_strings": (
+            "SELECT 'split' AS op, o_orderkey AS key, "
+            "split_part(o_orderpriority, '-', 1) AS val FROM orders "
+            "UNION ALL "
+            "SELECT 'concat', CAST(n_nationkey AS BIGINT), "
+            "'nation' || ':' || n_name FROM nation"
         ),
         "f5_datemath": (
             "SELECT year(o_orderdate) AS yr, round(sum(o_totalprice), 2) AS total, "
@@ -1405,6 +1447,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN vtx v USING (vid)
         """,
         "g6_lpa_sizes": g6_sql,
+        # g13: SCC labels = min vid mutually reachable — the closure joined
+        # to its transpose (reach(a,b) AND reach(b,a) => same component).
+        # Same V^2-bounded recursive-closure family as g5/g8.
+        "g13_scc": """
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src, (doc_id*17 + n_chars) % n AS dst
+                FROM documents, nn
+                UNION
+                SELECT doc_id, (doc_id*7 + 1) % n
+                FROM documents, nn WHERE doc_id % 13 = 0
+            ),
+            v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+            reach(a, b) AS (
+                SELECT vid, vid FROM v
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            )
+            SELECT r1.a AS vid, min(r1.b) AS label
+            FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            GROUP BY 1
+        """,
         # g5: min-label components via transitive closure (fine at sf0.01
         # where V*V is bounded); label = vid of the lexicographically
         # smallest member name because vid order IS name order.

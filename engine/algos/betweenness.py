@@ -84,6 +84,7 @@ def _brandes(spark, edges, pivots, max_iter):
     )
     frontier = settled
     depth = 0
+    exhausted = False
     for depth in range(1, max_iter + 1):
         nxt = (
             frontier.join(e.withColumnRenamed("src", "vid"), "vid")
@@ -96,6 +97,7 @@ def _brandes(spark, edges, pivots, max_iter):
         if nxt.limit(1).count() == 0:
             nxt.unpersist()
             depth -= 1
+            exhausted = True
             break
         prev_settled, prev_frontier = settled, frontier
         settled = _ckpt(settled.unionByName(nxt))
@@ -103,6 +105,28 @@ def _brandes(spark, edges, pivots, max_iter):
         prev_settled.unpersist()
         if prev_frontier is not prev_settled:
             prev_frontier.unpersist()
+    if not exhausted:
+        # The loop burned every iteration without the frontier dying. A
+        # truncated forward phase means the backward accumulation runs over
+        # a partial DAG and returns silently WRONG scores (not partial
+        # labels, wrong numbers) — fail loudly, matching k_core's policy
+        # (ADVICE r3). One extra probe join distinguishes "cap landed
+        # exactly on the last layer" from genuine truncation.
+        remaining = (
+            frontier.join(e.withColumnRenamed("src", "vid"), "vid")
+            .select("s", F.col("dst").alias("vid"))
+            .join(settled.select("s", "vid"), ["s", "vid"], "anti")
+            .limit(1)
+            .count()
+        )
+        if remaining > 0:
+            settled.unpersist()
+            e.unpersist()
+            raise ValueError(
+                f"betweenness forward BFS did not exhaust within max_iter="
+                f"{max_iter} layers; a truncated DAG would yield wrong "
+                f"scores — raise max_iter (graph diameter exceeds the cap)"
+            )
 
     # -------- backward: dependency accumulation by DESCENDING depth.
     # Layer-local: depth-d deltas depend only on depth-(d+1) deltas, so

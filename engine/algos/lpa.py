@@ -158,10 +158,23 @@ def modularity(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    und = und.localCheckpoint(eager=True)
     lab = labels.select("vid", "label")
     lab_a = lab.select(F.col("vid").alias("a"), F.col("label").alias("la"))
     lab_b = lab.select(F.col("vid").alias("b"), F.col("label").alias("lb"))
     tagged = und.join(lab_a, "a").join(lab_b, "b")
+    # Inner joins DROP edges with an unlabeled endpoint: they'd vanish from
+    # the intra/degree sums while still counting in m, silently skewing Q.
+    # networkx raises NotAPartition for the same input — match it (ADVICE r3).
+    m = und.count()
+    n_tagged = tagged.count()
+    if n_tagged != m:
+        und.unpersist()
+        raise ValueError(
+            f"labels do not cover every edge endpoint: {m - n_tagged} of "
+            f"{m} undirected edges have an unlabeled endpoint — modularity "
+            f"over a partial partition is undefined (networkx: NotAPartition)"
+        )
     intra = (
         tagged.filter(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("label"))
@@ -179,7 +192,7 @@ def modularity(
     row = per_c.agg(
         F.sum("l_c").alias("sl"), F.sum(F.col("deg_c") * F.col("deg_c")).alias("sd2")
     ).collect()[0]
-    m = und.count()
+    und.unpersist()
     if m == 0:
         return 0.0
     return float(row["sl"]) / m - float(row["sd2"]) / (4.0 * m * m)

