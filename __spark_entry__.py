@@ -901,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
     t4_case = " ".join(
         f"WHEN c_{code} = g THEN '{code}'" for code, _ in LANG_TRIGRAMS
     )
+    t4_cols = ", ".join(f"c_{code}" for code, _ in LANG_TRIGRAMS)
     t4_sql = f"""
         WITH n AS (
             SELECT doc_id,
@@ -909,8 +910,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ),
         c AS (SELECT doc_id, {t4_scores} FROM n),
-        m AS (SELECT doc_id, c_en, c_es, c_de, c_fr,
-                     greatest(c_en, c_es, c_de, c_fr) AS g FROM c)
+        m AS (SELECT doc_id, {t4_cols}, greatest({t4_cols}) AS g FROM c)
         SELECT doc_id,
                CASE WHEN g = 0 THEN 'other' {t4_case} ELSE 'other' END
                    AS lang_pred

@@ -36,7 +36,7 @@ from engine.algos.kcore import core_numbers  # noqa: E402
 from engine.algos.linkpred import link_scores  # noqa: E402
 from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.neighborhood import neighborhood_function  # noqa: E402
-from engine.algos.pagerank import pagerank  # noqa: E402
+from engine.algos.pagerank import pagerank, pagerank_delta  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine.algos.walks import random_walks  # noqa: E402
 from engine import dedup as D  # noqa: E402
@@ -104,35 +104,79 @@ def main() -> None:
     }
     log(f"pagerank: {res.iterations} iters, {extra['pagerank']['edges_per_sec_per_iter']:.0f} edges/s/iter")
 
-    # ---- 2b. bucketed-edge variant (VERDICT r2 item 7): save the edges as
+    # ---- 2b. delta (frontier-filtered) PageRank to the same 1e-6 target:
+    # the scale-relevant number is TOTAL EDGES GATHERED across the
+    # converged run vs the dense loop's iterations*E — the dense loop pays
+    # a full O(E) gather every iteration even when <1% of ranks still move
+    # (VERDICT r3 item 2; >=2x reduction is the acceptance bar).
+    t0 = time.monotonic()
+    res_d = pagerank_delta(spark, e, vertices=v, tol=1e-6, max_iter=1000)
+    q["pagerank_delta"] = time.monotonic() - t0
+    dense_gathered = res.iterations * n_e
+    extra["pagerank_delta"] = {
+        "rounds": res_d.iterations,
+        "converged": res_d.converged,
+        "edges_gathered": res_d.edges_gathered,
+        "dense_edges_gathered": dense_gathered,
+        "gather_reduction_x": round(dense_gathered / max(res_d.edges_gathered, 1), 2),
+    }
+    log(f"pagerank_delta: {res_d.iterations} rounds, gathered "
+        f"{res_d.edges_gathered} vs dense {dense_gathered} "
+        f"({extra['pagerank_delta']['gather_reduction_x']}x reduction)")
+
+    # ---- 2c. bucketed-edge variant (VERDICT r2 item 7): save the edges as
     # a bucketBy(src) table ONCE (the one-time cost a production deployment
     # pays at ingest), then run the loop with edges_pre_partitioned=True —
     # the scan exposes HashPartitioning(src) so prep runs with ZERO O(E)
     # exchanges (plan-asserted in test_graph_layout.py; save_edges_bucketed
     # narrows vids to int32 at save time, so the bucketed table is already
     # in the narrow layout the loop wants).
+    #
+    # INNER REPEATS (VERDICT r3 item 3): this host shows up to 3x
+    # back-to-back variance, so a single 12-iteration sample per variant
+    # can invert the bucketed-vs-plain sign. Three INTERLEAVED runs per
+    # variant (plain, bucketed, plain, ...) cancel drift; medians + spreads
+    # are reported so the sign is auditable.
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spark.sql("DROP TABLE IF EXISTS bench_edges_bucketed")
     from engine.graph import load_edges_bucketed, save_edges_bucketed
     t0 = time.monotonic()
     save_edges_bucketed(e, "bench_edges_bucketed", buckets=P)
     q["save_edges_bucketed"] = time.monotonic() - t0
-    t0 = time.monotonic()
     eb = load_edges_bucketed(spark, "bench_edges_bucketed")
-    res_b = pagerank(
-        spark, eb, vertices=v, tol=0.0, max_iter=12, edges_pre_partitioned=True
+    reps_plain, reps_bucketed = [], []
+    t_variants = time.monotonic()
+    for _rep in range(3):
+        r_p = pagerank(spark, e, vertices=v, tol=0.0, max_iter=12)
+        reps_plain.append(
+            sorted(m["wall_s"] for m in r_p.metrics)[len(r_p.metrics) // 2]
+        )
+        r_b = pagerank(
+            spark, eb, vertices=v, tol=0.0, max_iter=12,
+            edges_pre_partitioned=True,
+        )
+        reps_bucketed.append(
+            sorted(m["wall_s"] for m in r_b.metrics)[len(r_b.metrics) // 2]
+        )
+    q["pagerank_variants_3x12it"] = time.monotonic() - t_variants
+
+    def _med_spread(xs):
+        xs = sorted(xs)
+        return {
+            "median_iter_s": round(xs[len(xs) // 2], 3),
+            "spread_iter_s": [round(x, 3) for x in xs],
+        }
+
+    extra["pagerank_plain_12it"] = _med_spread(reps_plain)
+    extra["pagerank_bucketed"] = _med_spread(reps_bucketed)
+    extra["pagerank_bucketed"]["edges_per_sec_per_iter"] = round(
+        n_e / extra["pagerank_bucketed"]["median_iter_s"], 1
     )
-    q["pagerank_bucketed_12it"] = time.monotonic() - t0
-    walls_b = [m["wall_s"] for m in res_b.metrics]
-    eps_b = [m["edges_per_s"] for m in res_b.metrics if m["edges_per_s"]]
-    extra["pagerank_bucketed"] = {
-        "median_iter_s": sorted(walls_b)[len(walls_b) // 2],
-        "edges_per_sec_per_iter": sorted(eps_b)[len(eps_b) // 2],
-    }
     spark.sql("DROP TABLE IF EXISTS bench_edges_bucketed")
-    log(f"pagerank_bucketed: median iter "
-        f"{extra['pagerank_bucketed']['median_iter_s']:.2f}s "
-        f"(plain {extra['pagerank']['median_iter_s']:.2f}s)")
+    log(f"pagerank 12it x3 interleaved: plain {reps_plain} "
+        f"bucketed {reps_bucketed} (medians "
+        f"{extra['pagerank_plain_12it']['median_iter_s']}s vs "
+        f"{extra['pagerank_bucketed']['median_iter_s']}s)")
 
     # ---- 3. other graph algorithms
     t0 = time.monotonic()
@@ -228,11 +272,15 @@ def main() -> None:
     log(f"link_scores: {n_scored} pairs in {q['link_scores_candidates']:.1f}s")
 
     # pivot-sampled betweenness: 4 pivots, all in one layered BFS + one
-    # descending accumulation (job count scales with depth, not pivots)
+    # descending accumulation (job count scales with depth, not pivots).
+    # Pivots are REPO vertices so the forward phase runs the full
+    # repo->path->lang->cooccur depth — r3's lowest-vid pivots happened to
+    # reach only one layer, timing setup instead of the layered loop
+    # (VERDICT r3 item 8).
     t0 = time.monotonic()
     piv = (
-        e2.select(F.col("src").alias("vid")).distinct()
-        .orderBy("vid").limit(4)
+        v2.filter(F.col("vtype") == "repo")
+        .orderBy("vid").limit(4).select("vid")
     )
     bw = betweenness(spark, e2, pivots=piv)
     bw.scores.count()

@@ -33,6 +33,27 @@ LANG_TRIGRAMS = [
             "ch ", "ein", " ei", "sch", "cht", "das", "ist", "it "]),
     ("fr", ["les", " le", "ent", " en", " de", "des", "que", " qu",
             "ue ", "ait", "our", " pa", "ion", "eur", "ais", "est"]),
+    # r4 widening (VERDICT r3 item 7): same fixed-literal mechanism, public
+    # frequency statistics. Profiles again overlap deliberately — es/pt
+    # share que/" qu"/"os ", de/nl share "de "/"en ", es/it share " co" —
+    # and the discriminative tails (ção/ão for pt, ijk/van for nl, och/att
+    # for sv, się/prz for pl, ...) decide; confusable pairs are tested.
+    ("it", ["che", " ch", " di", "di ", " il", "il ", "lla", "zio",
+            "ion", "ato", " co", "to ", "ell", " pe", "gli", "ta "]),
+    ("pt", [" de", "de ", "que", " qu", "ão ", "ção", "os ", "as ",
+            " um", "uma", "nte", "do ", "da ", "ara", "em ", "com"]),
+    ("nl", ["de ", " de", "het", " he", "et ", "een", " ee", "en ",
+            "van", " va", "aar", "ijk", "ij ", " ni", "iet", "oor"]),
+    ("sv", ["och", " oc", "ch ", "att", " at", "tt ", "det", " de",
+            "en ", "för", " fö", "ör ", "ar ", "som", " so", "ing"]),
+    ("pl", ["nie", " ni", "ie ", " po", "prz", "rze", "się", " si",
+            "ię ", "ego", "go ", " że", "że ", "ych", "ym ", "na "]),
+    ("tr", ["bir", " bi", "ir ", "lar", "ler", "in ", " ka", "da ",
+            "ın ", " ve", "ve ", "eri", "ını", "lık", "ara", "an "]),
+    ("id", ["ang", "ng ", "yan", " ya", "kan", "an ", " me", "men",
+            " di", "di ", " ke", "ada", " be", "ber", " pe", "nya"]),
+    ("ro", [" în", "în ", "ul ", "are", "re ", " cu", "ea ", "ște",
+            " și", "și ", "ate", "lui", "tru", " pe", "tă ", "uri"]),
 ]
 
 

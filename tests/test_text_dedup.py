@@ -48,7 +48,7 @@ def test_quality_score_bounded(docs):
 
 def test_lang_id_codes(docs):
     vals = {r.lang_pred for r in T.lang_id(docs).select("lang_pred").distinct().collect()}
-    assert vals <= {"en", "es", "de", "fr", "other"}
+    assert vals <= {code for code, _ in T.LANG_TRIGRAMS} | {"other"}
 
 
 def test_fingerprint_reflow_invariant(spark):
@@ -335,6 +335,41 @@ def test_lang_id_confusable_pairs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
     assert got == {1: "es", 2: "fr", 3: "es", 4: "fr", 5: "de"}
+
+
+def test_lang_id_widened_languages(spark):
+    """r4 widening (VERDICT r3 item 7): one unambiguous sentence per new
+    language must classify correctly."""
+    rows = [
+        (1, "Che cosa vuoi che io faccia per il viaggio della prossima settimana?"),
+        (2, "A informação está em um arquivo com a documentação da versão anterior."),
+        (3, "Het is een mooie dag en de kinderen spelen in het park bij het water."),
+        (4, "Det är en vacker dag och barnen leker i parken för att det är varmt."),
+        (5, "To nie jest dobre rozwiązanie, ponieważ nie mamy żadnych nowych danych."),
+        (6, "Bu bir deneme metnidir ve verilerin çoğu henüz hazır değildir."),
+        (7, "Saya akan pergi ke pasar untuk membeli makanan yang segar setiap pagi."),
+        (8, "Aceasta este o zi frumoasă și copiii se joacă în parcul de lângă școală."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    assert got == {1: "it", 2: "pt", 3: "nl", 4: "sv",
+                   5: "pl", 6: "tr", 7: "id", 8: "ro"}
+
+
+def test_lang_id_widened_confusable_pairs(spark):
+    """The hard pairs the widening introduces: es vs pt (shared que/co/os),
+    de vs nl (shared de/en function trigrams), es vs it."""
+    rows = [
+        (1, "Creo que los datos que estaban en el archivo no eran los correctos."),
+        (2, "Acho que a versão do arquivo não está com a informação da semana."),
+        (3, "Die Daten in der Datei sind nicht mit der neuen Version gekommen."),
+        (4, "De gegevens in het bestand zijn niet met de nieuwe versie gekomen."),
+        (5, "Los gatos estaban en la casa y una hora despues ya no estaban."),
+        (6, "Il gatto era nella casa e dopo una ora non era della stessa idea."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in T.lang_id(df).collect()}
+    assert got == {1: "es", 2: "pt", 3: "de", 4: "nl", 5: "es", 6: "it"}
 
 
 def test_ivf_fitted_centroids_beat_random(spark):
