@@ -609,6 +609,14 @@ def _delta_loop(
 ):
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     norm, out_vids, _ = _prepare_edges(edges, weighted, None, 16, P)
+    # Bucket column for tail-round scan pruning: _prepare_edges left norm
+    # hash(src)-partitioned into P partitions, so pmod(hash(src), P) is
+    # CONSTANT within each cached partition (the same identity the
+    # checkpoint salvage protocol relies on). A literal bkt IN (...) filter
+    # therefore lets the in-memory scan's batch-stat pruning skip every
+    # partition holding no frontier vertex — late rounds with a handful of
+    # active vertices probe a handful of partitions instead of all of E.
+    norm = norm.withColumn("bkt", F.pmod(F.hash("src"), F.lit(P)))
     norm.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = norm.count()
 
@@ -713,6 +721,7 @@ def _delta_loop(
     stop = tol * (1.0 - alpha)
     converged = False
     total_gathered = 0
+    last_gathered: int | None = None
     metrics: list[dict[str, Any]] = []
     rounds = 0
     while rounds < max_iter:
@@ -731,8 +740,27 @@ def _delta_loop(
         src_side = state.filter(active).select(
             F.col("vid").alias("src"), F.col("resid").alias("r")
         )
+        # Tail-round scan pruning: once the previous round's frontier shrank
+        # below 1/8 of E, spend one tiny job collecting the frontier's
+        # bucket list and filter the edge scan to those buckets — the
+        # in-memory scan skips every other partition via batch stats. The
+        # O(V) state scan this extra job costs is far below the O(E) probe
+        # it saves; early full-frontier rounds skip it (the list would be
+        # all P buckets).
+        edge_side = norm
+        pruned_buckets = None
+        if last_gathered is not None and last_gathered < n_edges // 8:
+            bkts = [
+                r[0]
+                for r in src_side.select(
+                    F.pmod(F.hash("src"), F.lit(P)).alias("b")
+                ).distinct().collect()
+            ]
+            if len(bkts) < P:
+                edge_side = norm.filter(F.col("bkt").isin(bkts))
+                pruned_buckets = len(bkts)
         gobs = Observation(f"prd_g_{rounds}")
-        gathered = norm.join(bcast(src_side), "src").observe(
+        gathered = edge_side.join(bcast(src_side), "src").observe(
             gobs, F.count(F.lit(1)).alias("gathered")
         )
         pushes = gathered.groupBy("dst").agg(
@@ -770,18 +798,20 @@ def _delta_loop(
         D = alpha * float(vals["dp"] or 0.0)
         g = int(gobs.get["gathered"] or 0)
         total_gathered += g
+        last_gathered = g
         wall = time.monotonic() - t0
-        metrics.append(
-            {
-                "iter": rounds,
-                "resid_mass": R + abs(D),
-                "frontier_edges": g,
-                "wall_s": wall,
-                "edges_per_s": g / wall if wall > 0 else None,
-                "n_edges": n_edges,
-                "n_vertices": n,
-            }
-        )
+        m = {
+            "iter": rounds,
+            "resid_mass": R + abs(D),
+            "frontier_edges": g,
+            "wall_s": wall,
+            "edges_per_s": g / wall if wall > 0 else None,
+            "n_edges": n_edges,
+            "n_vertices": n,
+        }
+        if pruned_buckets is not None:
+            m["pruned_buckets"] = pruned_buckets
+        metrics.append(m)
         prev = state
         state = new_state
         prev.unpersist()

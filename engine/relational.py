@@ -179,3 +179,73 @@ def range_join(
         .drop("__bkt", "__us", "__rus")
     )
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows within a ``by`` group belong to the
+    same session while consecutive ``on`` timestamps are <= ``gap_seconds``
+    apart; a larger gap starts a new session (the classic web-analytics
+    session window, and the batch mirror of Structured Streaming's
+    ``session_window`` aggregation).
+
+    Spark-first plan: ONE shuffle (partitionBy ``by``) feeding one sort and
+    two chained window functions over the same frame — lag() marks session
+    starts, a running sum numbers them — with no self-join and no
+    per-session explode; Catalyst plans both windows in a single Window
+    node over a single sort. Session ids are deterministic and meaningful:
+    (by..., ordinal) with the ordinal 1-based in timestamp order, so two
+    runs (or two engines — the oracle mirrors this exactly in SQL) assign
+    identical ids. Gap comparison uses integer-microsecond timestamp
+    arithmetic (the same convention as range_join/asof_join): ties at
+    exactly ``gap_seconds`` stay in the session (<=).
+    """
+    by = list(by or [])
+    w = (
+        Window.partitionBy(*by).orderBy(F.col(on))
+        if by
+        else Window.orderBy(F.col(on))
+    )
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    prev = F.lag(F.col(on)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(on)) - F.unix_micros(prev)) > F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ordinal = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in by], ordinal.cast("string")
+    )
+    return events.withColumn(session_col, sid)
+
+
+def session_stats(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Per-session rollup over ``sessionize``: (by..., session_id,
+    n_events, t_start, t_end, duration_s). One extra partial-aggregated
+    groupBy on top of the sessionization shuffle — the aggregation keys
+    extend the window keys, so under the same partitioning the groupBy
+    combines map-side."""
+    by = list(by or [])
+    s = sessionize(events, on=on, by=by, gap_seconds=gap_seconds)
+    return s.groupBy(*by, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(on).alias("t_start"),
+        F.max(on).alias("t_end"),
+        (
+            (F.unix_micros(F.max(on)) - F.unix_micros(F.min(on)))
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+    )

@@ -1,0 +1,149 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling at 100 TB has two requirements ordinary ``df.sample``
+doesn't meet: (1) REPRODUCIBILITY independent of partitioning — a re-run,
+a resume, or a different cluster size must pick the SAME rows (Spark's
+``sample`` is seed-stable only for identical partitioning); (2) per-group
+control — training mixes are specified per source/language/quality bucket,
+not globally. Both fall out of hash-threshold sampling (public knowledge —
+the standard "salted hash bucket" trick): a row is kept iff
+``pmod(xxhash64(key, salt), M) < frac*M``. The decision is a pure function
+of the row's key, so it commutes with any partitioning, survives resume,
+and is expressible in any engine with a 64-bit hash (tests mirror the
+whole pipeline in DuckDB via the portable md5-family hash from
+engine.dedup).
+
+No shuffles anywhere: every operator here is a filter or a windowed
+aggregation the optimizer places; stratified counts are one partial-agg
+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.dedup import _h64
+
+# Denominator for the hash threshold. 1e6 gives ppm resolution on the
+# sampling fraction — fractions are quantized to 1/M, documented, exact.
+M = 1_000_000
+
+
+def _bucket(cols: list[str], salt: str, portable: bool = False):
+    """Uniform bucket in [0, M) from the row key — xxhash64 in production,
+    engine.dedup's md5-family portable hash when a cross-engine mirror
+    must verify values. The key is the \\x1f-joined string form of the
+    columns (cast explicitly: concat_ws wants strings), so the identical
+    expression exists in any SQL engine."""
+    s = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in cols]
+    )
+    return F.pmod(_h64(s, None, portable), F.lit(M))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: list[str],
+    salt: str = "sample",
+    portable: bool = False,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by a hash of ``key_cols``.
+
+    Deterministic under repartitioning, resume, and cluster resizing; a
+    row's fate never changes between runs with the same salt. Different
+    ``salt`` values draw INDEPENDENT samples (disjoint-ish, overlapping at
+    ~f1*f2), which is how train/validation splits stay leak-free:
+    ``hash_sample(df, 0.9, keys, salt="train")`` and the 0.1 complement
+    share no derivation. Quantized to 1/M = 1e-6."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * M))
+    return df.filter(_bucket(key_cols, salt, portable) < thr)
+
+
+def split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    salt: str = "split",
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive named splits (train/val/test) by hash range.
+
+    Unlike ``randomSplit`` the assignment is a row property, not a
+    partition-order property: every run, engine, and cluster size puts
+    each row in the same split. Weights are normalized; ranges are
+    half-open [lo, hi) over the hash bucket so the splits partition the
+    input exactly."""
+    total = sum(weights.values())
+    if not (total > 0):
+        raise ValueError("split weights must sum > 0")
+    b = _bucket(key_cols, salt, portable)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    names = list(weights)
+    for i, name in enumerate(names):
+        hi = M if i == len(names) - 1 else lo + int(round(weights[name] / total * M))
+        out[name] = df.filter((b >= lo) & (b < hi))
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum hash sampling — the training-mix operator: keep 100% of
+    one source, 5% of another. ``fractions`` maps stratum value -> keep
+    fraction; strata not listed get ``default_fraction``. One filter, no
+    shuffle, same determinism contract as ``hash_sample``."""
+    for k, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {f}")
+    thr = F.lit(int(round(default_fraction * M)))
+    expr = thr
+    for val, frac in fractions.items():
+        expr = F.when(
+            F.col(stratum_col) == F.lit(val), F.lit(int(round(frac * M)))
+        ).otherwise(expr)
+    return df.filter(_bucket(key_cols, salt, portable) < expr)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    salt: str = "reservoir",
+    portable: bool = False,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group — a deterministic
+    reservoir: rank rows within each group by their hash and keep the k
+    smallest. Equivalent in distribution to uniform k-of-n sampling (the
+    hash order is a uniform random permutation of the group), but
+    reproducible and engine-portable.
+
+    Cost: one hash-partitioned window per group (the same shuffle an
+    aggregation over the groups would pay). For the 100-TB case prefer
+    pre-filtering with ``hash_sample`` at a generous fraction first so the
+    window input is O(k * groups), not O(corpus): sampling THEN reservoir
+    is still exactly uniform, conditioned on the survivor set."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        _bucket(key_cols, salt, portable).asc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

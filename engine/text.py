@@ -198,3 +198,60 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.substring(F.sha2(norm, 256), 1, 16).alias("fp")
     )
+
+
+def ngram_vocab(
+    docs: DataFrame,
+    n: int = 1,
+    min_count: int = 1,
+    top_k: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(gram, count, doc_freq) — token n-gram vocabulary induction, the
+    tokenizer-prep / IDF-table operator of a training-data pipeline.
+
+    Tokens are whitespace runs (the same split as ``token_counts``),
+    n-grams the space-joined sliding windows over each doc's token
+    sequence — built with ``transform`` over ``sequence`` + ``slice``,
+    i.e. array expressions inside codegen, no UDF. One explode (row count
+    = total grams, the irreducible size of the work) into one
+    partial-aggregated groupBy: counts combine map-side, so the shuffle
+    carries one partial row per (partition, gram), not one per
+    occurrence. ``doc_freq`` = distinct docs containing the gram (the IDF
+    numerator) rides the same aggregation.
+
+    ``min_count`` prunes the long tail BEFORE any driver contact;
+    ``top_k`` additionally keeps the global k most frequent (ties broken
+    by gram for determinism) — at 100 TB always set one of them: an
+    unpruned unigram table of the open web is itself a large dataset.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = F.col("text")
+    if lowercase:
+        t = F.lower(t)
+    toks = F.split(F.trim(t), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    exploded = (
+        docs.filter(F.length("text") > 0)
+        .filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    agg = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    if min_count > 1:
+        agg = agg.filter(F.col("count") >= min_count)
+    if top_k is not None:
+        # orderBy().limit() compiles to TakeOrderedAndProject: a bounded
+        # per-partition heap + one k-row merge at the driver — never a
+        # global sort of the whole vocabulary (same pattern as report.top_k)
+        agg = (
+            agg.orderBy(F.col("count").desc(), F.col("gram").asc())
+            .limit(top_k)
+        )
+    return agg
