@@ -218,23 +218,47 @@ def _q_cube(spark, sf):
     )
 
 
-def _q_rank_per_group(spark, sf):
+def _q_rank_topk(spark, sf):
+    """w2: rank-per-group AND global top-k in one union result — the former
+    w2/w3 rows merged (r4, same consolidation precedent as f2/u2/j4) to
+    free a 50-window slot for w5_sessionize."""
     c = _tbl(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
+    rk = (
         c.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
-        .select("c_nationkey", "rk", "c_custkey")
+        .select(
+            F.lit("rank").alias("op"),
+            F.col("c_nationkey").cast("long").alias("k1"),
+            F.col("rk").cast("long").alias("k2"),
+            F.col("c_custkey").cast("double").alias("val"),
+        )
     )
-
-
-def _q_topk(spark, sf):
-    o = _tbl(spark, sf, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    tk = (
+        _tbl(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_totalprice")
+        .select(
+            F.lit("topk").alias("op"),
+            F.col("o_orderkey").cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.col("o_totalprice").cast("double").alias("val"),
+        )
     )
+    return rk.unionByName(tk)
+
+
+def _q_sessionize(spark, sf):
+    """w5: gap-based sessionization + per-session rollup over the events
+    stream (engine.relational.sessionize/session_stats — one shuffle, one
+    Window node; the batch mirror of streaming session windows). Session
+    ids are (user, ordinal) so the assignment is deterministic even under
+    timestamp ties; duration is integer-microsecond arithmetic divided
+    once (both engines do the identical IEEE division)."""
+    from engine.relational import session_stats
+
+    ev = _tbl(spark, sf, "events")
+    return session_stats(ev, on="ts", by=["user_id"], gap_seconds=3600.0)
 
 
 def _q_rolling(spark, sf):
@@ -666,8 +690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vid assignment IS a value-verified row_number), t3 merged into t2,
     m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added,
     u3 merged into u2 to make room for g11 (k-core + link scores),
-    j5 merged into j4 to make room for g12 (weighted SSSP), and f3 merged
-    into f2 (r4) to make room for g13 (SCC)."""
+    j5 merged into j4 to make room for g12 (weighted SSSP), f3 merged
+    into f2 (r4) to make room for g13 (SCC), and w3 merged into w2 (r4)
+    to make room for w5 (sessionization)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -688,9 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_approx_distinct": _q_a_approx_distinct,
         "a6_cube": _q_cube,
         # B.5 windows / top-k
-        "w2_rank_per_group": _q_rank_per_group,
-        "w3_topk": _q_topk,
+        "w2_rank_topk": _q_rank_topk,
         "w4_rolling": _q_rolling,
+        "w5_sessionize": _q_sessionize,
         # B.6 set ops (u2 merged except+distinct; freed slot goes to g11)
         "u1_union": _q_union,
         "u2_setops": _q_setops,
@@ -1281,16 +1306,44 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(source, 'ALL') AS source_g, count(*) AS n "
             "FROM documents GROUP BY CUBE (lang, source)"
         ),
-        "w2_rank_per_group": (
-            "SELECT c_nationkey, rk, c_custkey FROM ("
+        "w2_rank_topk": (
+            "SELECT 'rank' AS op, CAST(c_nationkey AS BIGINT) AS k1, "
+            "CAST(rk AS BIGINT) AS k2, CAST(c_custkey AS DOUBLE) AS val FROM ("
             "SELECT c_nationkey, c_custkey, row_number() OVER ("
             "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk "
-            "FROM customer) WHERE rk <= 2"
-        ),
-        "w3_topk": (
+            "FROM customer) WHERE rk <= 2 "
+            "UNION ALL "
+            "SELECT 'topk', o_orderkey, CAST(0 AS BIGINT), o_totalprice FROM ("
             "SELECT o_orderkey, o_totalprice FROM orders "
-            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)"
         ),
+        # w5: lag + running-sum sessionization, then the per-session rollup
+        # — the identical formulation engine.relational.sessionize plans as
+        # one Window node. Ties at the same (user, ts) get the same session
+        # ordinal, so the assignment is order-independent.
+        "w5_sessionize": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       CAST(user_id AS VARCHAR) || '#' || CAST(
+                           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING)
+                           AS VARCHAR) AS session_id
+                FROM lagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                       AS duration_s
+            FROM sess GROUP BY 1, 2
+        """,
         "w4_rolling": (
             "SELECT event_id, round(avg(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "

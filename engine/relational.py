@@ -213,9 +213,15 @@ def sessionize(
     )
     gap_us = int(round(float(gap_seconds) * 1_000_000))
     prev = F.lag(F.col(on)).over(w)
+
+    # unix_micros needs TIMESTAMP; NTZ casts through the session zone —
+    # safe because the predicate is on a time DIFFERENCE (same _us
+    # convention as range_join).
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
     is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(on)) - F.unix_micros(prev)) > F.lit(gap_us)),
+        prev.isNull() | ((_us(F.col(on)) - _us(prev)) > F.lit(gap_us)),
         F.lit(1),
     ).otherwise(F.lit(0))
     ordinal = F.sum(is_new).over(
@@ -245,7 +251,10 @@ def session_stats(
         F.min(on).alias("t_start"),
         F.max(on).alias("t_end"),
         (
-            (F.unix_micros(F.max(on)) - F.unix_micros(F.min(on)))
+            (
+                F.unix_micros(F.max(on).cast("timestamp"))
+                - F.unix_micros(F.min(on).cast("timestamp"))
+            )
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
     )
