@@ -609,14 +609,22 @@ def _delta_loop(
 ):
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     norm, out_vids, _ = _prepare_edges(edges, weighted, None, 16, P)
-    # Bucket column for tail-round scan pruning: _prepare_edges left norm
-    # hash(src)-partitioned into P partitions, so pmod(hash(src), P) is
-    # CONSTANT within each cached partition (the same identity the
-    # checkpoint salvage protocol relies on). A literal bkt IN (...) filter
-    # therefore lets the in-memory scan's batch-stat pruning skip every
-    # partition holding no frontier vertex — late rounds with a handful of
-    # active vertices probe a handful of partitions instead of all of E.
-    norm = norm.withColumn("bkt", F.pmod(F.hash("src"), F.lit(P)))
+    # Bucket column for tail-round scan pruning. _prepare_edges left norm
+    # hash(src)-partitioned into P partitions (pmod(hash(src), P) — the
+    # same identity the checkpoint salvage protocol relies on); the bucket
+    # key refines that to K = 64*P sub-buckets, CONSISTENT with the
+    # partitioning (bkt % P = partition id), and sortWithinPartitions
+    # clusters each partition into contiguous bkt runs. Cached columnar
+    # batches then carry tight min/max stats on bkt, so a literal
+    # bkt IN (...) filter lets the in-memory scan skip every batch holding
+    # no frontier vertex — late rounds with a handful of active vertices
+    # probe a handful of batches instead of all of E. The sort is one-time,
+    # in-partition (no shuffle), and ordering does not disturb the
+    # HashPartitioning(src) the gather join credits.
+    K = 64 * P
+    norm = norm.withColumn(
+        "bkt", F.pmod(F.hash("src"), F.lit(K))
+    ).sortWithinPartitions("bkt")
     norm.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = norm.count()
 
@@ -753,10 +761,12 @@ def _delta_loop(
             bkts = [
                 r[0]
                 for r in src_side.select(
-                    F.pmod(F.hash("src"), F.lit(P)).alias("b")
+                    F.pmod(F.hash("src"), F.lit(K)).alias("b")
                 ).distinct().collect()
             ]
-            if len(bkts) < P:
+            # engage only when the frontier covers a minority of buckets
+            # (a near-full IN-list would cost codegen for no skipped batch)
+            if len(bkts) * 4 <= K:
                 edge_side = norm.filter(F.col("bkt").isin(bkts))
                 pruned_buckets = len(bkts)
         gobs = Observation(f"prd_g_{rounds}")
