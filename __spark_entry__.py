@@ -464,7 +464,11 @@ def _q_g_personalized_pr(spark, sf):
 # -------- text / dedup / similarity / multimodal (training-data pipeline)
 
 def _q_t_tokens(spark, sf):
-    return T.token_counts(_tbl(spark, sf, "documents"))
+    """t1: token counts AND the reflow-stable fingerprint in one row per
+    doc (merged with the former t5 in r4 — same scan, inner join on the
+    shared non-empty filter — freeing a harness slot for t6_bm25)."""
+    d = _tbl(spark, sf, "documents")
+    return T.token_counts(d).join(T.fingerprints(d), "doc_id")
 
 
 def _q_t_quality(spark, sf):
@@ -479,8 +483,11 @@ def _q_t_langid(spark, sf):
     return T.lang_id(_tbl(spark, sf, "documents"))
 
 
-def _q_t_fingerprint(spark, sf):
-    return T.fingerprints(_tbl(spark, sf, "documents"))
+def _q_t_bm25(spark, sf):
+    """t6: Okapi BM25 term-weight table over the documents corpus — the
+    inverted-index build of a retrieval/data-curation pipeline, fully
+    value-mirrored in SQL (explode → tf → df → broadcast scalars)."""
+    return T.bm25(_tbl(spark, sf, "documents"))
 
 
 def _q_d_exact_groups(spark, sf):
@@ -738,7 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
         "t4_langid": _q_t_langid,
-        "t5_fingerprint": _q_t_fingerprint,
+        "t6_bm25": _q_t_bm25,
         # dedup
         "d1_exact_groups": _q_d_exact_groups,
         "d2_exact_dedup": _q_d_exact_dedup,
@@ -1600,7 +1607,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) "
             "AS BIGINT) AS bpe_chunks, "
-            "CAST(floor(length(text) / 4.0) AS BIGINT) + 1 AS bpe_upper "
+            "CAST(floor(length(text) / 4.0) AS BIGINT) + 1 AS bpe_upper, "
+            "substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp "
             "FROM documents WHERE length(text) > 0"
         ),
         # t2: quality features + scalar score in one row (former t2 + t3)
@@ -1618,11 +1626,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE length(text) > 0"
         ),
         "t4_langid": t4_sql,
-        "t5_fingerprint": (
-            "SELECT doc_id, substr(sha256("
-            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp "
-            "FROM documents"
-        ),
+        # t6: Okapi BM25 term-weight table — full value mirror of
+        # engine.text.bm25 (same regex trim, same smoothed RSJ idf, same
+        # k1=1.2 / b=0.75 constants, one final round at 4 decimals).
+        "t6_bm25": """
+            WITH d AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) AS t
+                FROM documents WHERE regexp_matches(text, '\\S')
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(t, '\\s+')) AS term,
+                       len(regexp_split_to_array(t, '\\s+')) AS dl
+                FROM d
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM tok GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                FROM (SELECT DISTINCT doc_id, dl FROM tf)
+            )
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, tf.dl,
+                   round(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)),
+                   4) AS bm25_w
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        """,
         # dedup
         "d1_exact_groups": """
             WITH docs2 AS (

@@ -255,3 +255,122 @@ def ngram_vocab(
             .limit(top_k)
         )
     return agg
+
+
+def term_frequencies(docs: DataFrame, lowercase: bool = True) -> DataFrame:
+    """(doc_id, term, tf, dl) — per-document whitespace-term counts plus the
+    document token length, the shared substrate of ``tfidf`` and ``bm25``.
+
+    One explode (row count = total tokens, the irreducible work) into one
+    partially-aggregated groupBy(doc_id, term): counts combine map-side, so
+    the shuffle carries one row per distinct (doc, term), not per token.
+    ``dl`` is constant within a doc and rides the same aggregation as a
+    max() — no second scan, no doc-length join. Whitespace-only docs are
+    excluded up front, and the trim is regex-based (``^\\s+|\\s+$``): SQL
+    ``trim`` strips only spaces, so a tab-padded doc would otherwise leak
+    empty boundary tokens out of the split.
+    """
+    t = F.col("text")
+    if lowercase:
+        t = F.lower(t)
+    toks = F.split(F.regexp_replace(t, r"^\s+|\s+$", ""), r"\s+")
+    return (
+        docs.filter(F.col("text").rlike(r"\S"))
+        .select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def _doc_stats(tf: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) from the tf table — broadcast-joined by the
+    callers (a 1-row aggregate; Catalyst broadcasts it, never shuffles)."""
+    return (
+        tf.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    min_df: int = 1,
+    lowercase: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf_w) — smoothed TF-IDF term weights,
+    idf = ln((N+1)/(df+1)) + 1 (the add-one-smoothed form: never zero,
+    never divides by zero, public knowledge from the IR literature /
+    sklearn's TfidfTransformer default).
+
+    Plan: tf explode+groupBy (see ``term_frequencies``), df as a second,
+    much smaller groupBy over the tf table (one row per distinct term),
+    then tf ⋈ df on term — a shuffle equi-join whose build side is the
+    vocabulary, orders of magnitude below the corpus; the (N) scalar rides
+    a broadcast 1-row crossJoin. No UDF anywhere; the weight is one
+    codegen'd projection, rounded once at the end (the quality_score
+    cross-engine rounding rule).
+    """
+    tf = term_frequencies(docs, lowercase=lowercase)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    stats = _doc_stats(tf)
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, round_to).alias("tfidf_w"),
+        )
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 1,
+    lowercase: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, term, tf, df, dl, bm25_w) — Okapi BM25 term weights
+    (Robertson–Spärck Jones idf in its always-positive +1 form:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    w = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))).
+
+    The per-(doc, term) weight table IS the inverted index a retrieval or
+    data-curation pipeline builds: scoring a query is then a semi-join of
+    its terms against this table + a groupBy(doc_id) sum. Same plan shape
+    as ``tfidf`` — the corpus-sized side is touched once, the (N, avgdl)
+    scalars ride a broadcast 1-row aggregate, everything codegen'd.
+    """
+    tf = term_frequencies(docs, lowercase=lowercase)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    stats = _doc_stats(tf)
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    w = idf * F.col("tf") * (k1 + 1.0) / norm
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            F.round(w, round_to).alias("bm25_w"),
+        )
+    )
