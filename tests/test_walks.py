@@ -136,3 +136,93 @@ def test_step_join_does_not_reshuffle_adjacency(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     ranked.unpersist()
     state.unpersist()
+
+
+# ---------------- node2vec (second-order biased) walks ----------------
+
+from engine.algos.walks import node2vec_walks  # noqa: E402
+
+
+def test_n2v_every_hop_is_an_edge(spark):
+    g = nx.gnm_random_graph(40, 160, seed=13, directed=True)
+    e = edges_df(spark, list(g.edges))
+    got = _paths(node2vec_walks(spark, e, walk_length=6, walks_per_vertex=2,
+                                p=2.0, q=0.5))
+    starters = {v for v in g.nodes if g.out_degree(v) > 0}
+    assert len(got) == 2 * len(starters)
+    edge_set = set(g.edges)
+    for wid, path in got.items():
+        assert path[0] == wid // 2
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edge_set, (wid, path)
+
+
+def test_n2v_bit_identical_across_runs(spark):
+    g = nx.gnm_random_graph(25, 80, seed=3, directed=True)
+    e = edges_df(spark, list(g.edges))
+    kw = dict(walk_length=5, walks_per_vertex=2, p=0.5, q=2.0, seed=21)
+    assert _paths(node2vec_walks(spark, e, **kw)) == _paths(
+        node2vec_walks(spark, e, **kw)
+    )
+
+
+def test_n2v_seed_and_pq_change_walks(spark):
+    g = nx.gnm_random_graph(30, 150, seed=8, directed=True)
+    e = edges_df(spark, list(g.edges))
+    a = _paths(node2vec_walks(spark, e, walk_length=6, seed=1))
+    assert a != _paths(node2vec_walks(spark, e, walk_length=6, seed=2))
+    assert a != _paths(node2vec_walks(spark, e, walk_length=6, seed=1,
+                                      p=100.0, q=0.01))
+
+
+def test_n2v_p_inf_never_backtracks(spark):
+    """p=inf zeroes the return class: no immediate backtrack v->u->v may
+    occur whenever u had any other candidate (undirected-style edge pairs
+    make every forward edge also a potential backtrack)."""
+    g = nx.gnm_random_graph(30, 120, seed=17)
+    pairs = [(a, b) for a, b in g.edges] + [(b, a) for a, b in g.edges]
+    e = edges_df(spark, pairs)
+    got = _paths(node2vec_walks(spark, e, walk_length=8, p=float("inf")))
+    for wid, path in got.items():
+        for i in range(2, len(path)):
+            if path[i] == path[i - 2]:
+                # a backtrack is only legal when it was the sole candidate
+                assert set(g.neighbors(path[i - 1])) == {path[i]}, (wid, path)
+
+
+def test_n2v_q_inf_stays_near(spark):
+    """q=inf zeroes the explore class: every step goes to the predecessor
+    or to an out-neighbor of the predecessor, whenever such a candidate
+    exists."""
+    g = nx.gnm_random_graph(30, 200, seed=23, directed=True)
+    e = edges_df(spark, list(g.edges))
+    got = _paths(node2vec_walks(spark, e, walk_length=8, q=float("inf")))
+    out_nbrs = {v: set(g.successors(v)) for v in g.nodes}
+    for wid, path in got.items():
+        for i in range(2, len(path)):
+            t, v, x = path[i - 2], path[i - 1], path[i]
+            near = {c for c in out_nbrs[v] if c == t or c in out_nbrs[t]}
+            if near:
+                assert x in near, (wid, path)
+
+
+def test_n2v_first_step_uniformish(spark):
+    """With p=q=1 the first step is uniform over out-neighbors: over many
+    replicas from one hub, each neighbor's share lands near 1/deg."""
+    hub_edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = edges_df(spark, hub_edges)
+    got = _paths(node2vec_walks(spark, e, walk_length=1, walks_per_vertex=400))
+    firsts = [path[1] for wid, path in got.items() if path[0] == 0]
+    assert len(firsts) == 400
+    from collections import Counter
+    shares = Counter(firsts)
+    for nbr in range(1, 5):
+        assert 0.15 <= shares[nbr] / 400 <= 0.35, shares
+
+
+def test_n2v_rejects_bad_params(spark):
+    e = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, walk_length=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(spark, e, p=0.0)
