@@ -374,3 +374,83 @@ def bm25(
             F.round(w, round_to).alias("bm25_w"),
         )
     )
+
+
+def repetition_features(docs: DataFrame, ns: tuple = (2, 3)) -> DataFrame:
+    """Per-doc repetition/boilerplate signals (the Gopher/MassiveText
+    repetition-filter family, Rae et al. 2021 §A1.1 — public knowledge),
+    set-oriented:
+
+      dup_line_frac       duplicate lines / lines
+      dup_line_char_frac  chars inside duplicate-line occurrences / chars
+      top{n}gram_frac     occurrences of the most frequent word n-gram /
+                          total n-gram occurrences, per n in ``ns``
+      dup{n}gram_frac     1 - distinct/total n-gram occurrences (the
+                          fraction of occurrences that are repeats)
+
+    Line metrics are pure array expressions (split + array_distinct +
+    aggregate) — zero shuffle, one codegen'd projection. The n-gram
+    metrics explode once per n into a partial-agg groupBy(doc_id, gram)
+    and a groupBy(doc_id) rollup — shuffle rows = distinct grams, the
+    irreducible histogram size; everything joins back on doc_id. Short
+    docs (< n tokens) report 0.0 for that n. All ratios rounded to 4 for
+    cross-engine compare.
+    """
+    t = F.col("text")
+    lines = F.filter(F.split(t, "\n"), lambda s: F.length(F.trim(s)) > 0)
+    n_lines = F.size(lines)
+    dist_lines = F.array_distinct(lines)
+    # chars inside duplicate-line occurrences: total line chars minus the
+    # chars of one copy of each distinct line... counts EVERY occurrence of
+    # a line that appears >1x as duplicate, matching the "fraction of
+    # characters within duplicate lines" reading where the first copy of a
+    # repeated line is also boilerplate.
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    line_chars = sum_len(lines)
+    uniq_line_set = F.filter(
+        dist_lines,
+        lambda s: F.size(F.filter(lines, lambda x: x == s)) == 1,
+    )
+    base = docs.filter(F.col("text").rlike(r"\S")).select(
+        "doc_id",
+        "text",
+        F.when(n_lines > 0, F.round(
+            (n_lines - F.size(dist_lines)) / n_lines, 4
+        )).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(line_chars > 0, F.round(
+            (line_chars - sum_len(uniq_line_set)) / line_chars, 4
+        )).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+    toks = F.split(F.regexp_replace(F.lower(t), r"^\s+|\s+$", ""), r"\s+")
+    out = base.select("doc_id", "dup_line_frac", "dup_line_char_frac")
+    for n in ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array())
+        hist = (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias("top"),
+                F.sum("c").alias("tot"),
+                F.count(F.lit(1)).alias("dist"),
+            )
+            .select(
+                "doc_id",
+                F.round(F.col("top") / F.col("tot"), 4).alias(f"top{n}gram_frac"),
+                F.round(1 - F.col("dist") / F.col("tot"), 4).alias(f"dup{n}gram_frac"),
+            )
+        )
+        out = out.join(hist, "doc_id", "left").fillna(
+            {f"top{n}gram_frac": 0.0, f"dup{n}gram_frac": 0.0}
+        )
+    return out
