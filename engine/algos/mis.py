@@ -130,3 +130,68 @@ def _mis_loop(spark, edges, vertices, seed, max_iter):
     nbrs.unpersist()
     und.unpersist()
     return MISResult(members, it, converged)
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 17,
+    max_colors: int = 64,
+    max_iter_per_color: int = 100,
+) -> DataFrame:
+    """(vid, color) — proper vertex coloring by iterated MIS (the
+    classical Jones–Plassmann / Luby reduction: color c = an MIS of the
+    still-uncolored subgraph). Colors are small ints from 0; the count is
+    bounded by max-degree+1 but typically far lower on sparse graphs.
+
+    Each color round runs the same hash-priority selection over the
+    residual subgraph (edges among uncolored vertices, maintained by two
+    semi-joins — the residual only shrinks). Deterministic given the
+    seed. Raises if ``max_colors`` rounds leave vertices uncolored (a
+    partial coloring is not a coloring — fail-loudly policy), which on
+    any real graph means max_colors was set below max-degree+1.
+    """
+    out = None
+    parts = []
+    residual = edges
+    # the uncolored vertex set is tracked EXPLICITLY: a vertex whose every
+    # neighbor is already colored disappears from the residual edge view,
+    # but it still needs a color — MIS's vertices= contract picks such
+    # isolated vertices up unconditionally.
+    uncolored = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for c in range(max_colors):
+        res = maximal_independent_set(
+            spark, residual, vertices=uncolored, seed=seed + c,
+            max_iter=max_iter_per_color,
+        )
+        if not res.converged:
+            raise RuntimeError(
+                f"MIS for color {c} hit max_iter={max_iter_per_color}"
+            )
+        sel = res.members.select("vid", F.lit(c).alias("color"))
+        parts.append(res.members)
+        out = sel if out is None else out.unionByName(sel)
+        keep = residual.join(
+            res.members.withColumnRenamed("vid", "src"), "src", "anti"
+        ).join(res.members.withColumnRenamed("vid", "dst"), "dst", "anti")
+        residual = keep.select("src", "dst").localCheckpoint(eager=True)
+        parts.append(residual)
+        new_uncolored = uncolored.join(
+            res.members, "vid", "anti"
+        ).localCheckpoint(eager=True)
+        old, uncolored = uncolored, new_uncolored
+        old.unpersist()
+        if uncolored.isEmpty():
+            out = out.localCheckpoint(eager=True)
+            uncolored.unpersist()
+            for p in parts:
+                p.unpersist()
+            return out
+    raise RuntimeError(
+        f"graph not colored within max_colors={max_colors} rounds"
+    )

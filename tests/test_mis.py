@@ -77,3 +77,37 @@ def test_isolated_vertices_always_members(spark):
     members = {r.vid for r in res.members.collect()}
     assert {7, 9} <= members
     _check_mis(pairs, members)
+
+
+# ---------------- greedy coloring (iterated MIS) ----------------
+
+from engine.algos.mis import greedy_coloring  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ["path", "clique6", "random"])
+def test_coloring_is_proper_and_complete(spark, name):
+    pairs = GRAPHS[name]
+    colors = {
+        r.vid: r.color
+        for r in greedy_coloring(spark, edges_df(spark, pairs)).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    assert set(colors) == set(g.nodes)                 # every vertex colored
+    for a, b in g.edges:
+        assert colors[a] != colors[b], (a, b)          # proper
+    assert max(colors.values()) <= max(dict(g.degree).values())  # <= Δ+1 colors
+
+
+def test_coloring_clique_needs_exactly_n_colors(spark):
+    pairs = GRAPHS["clique6"]
+    colors = {
+        r.vid: r.color
+        for r in greedy_coloring(spark, edges_df(spark, pairs)).collect()
+    }
+    assert sorted(colors.values()) == list(range(6))
+
+
+def test_coloring_max_colors_fails_loudly(spark):
+    with pytest.raises(RuntimeError, match="max_colors"):
+        greedy_coloring(spark, edges_df(spark, GRAPHS["clique6"]), max_colors=2)
