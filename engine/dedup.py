@@ -357,3 +357,42 @@ def decontaminate(
         docs, benchmark, shingle_n=shingle_n, min_shared=min_shared
     ).select("doc_id").distinct()
     return docs.join(F.broadcast(flagged), "doc_id", "anti")
+
+
+def dedup_clusters(spark, pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) — transitive near-dup clusters from candidate
+    pairs, canonical = min doc_id of the cluster.
+
+    Near-dup relations are NOT transitive (A~B and B~C do not imply A~C),
+    but production dedup treats the candidate graph's connected components
+    as the removal unit anyway (public practice: the MinHash-dedup stages
+    of C4/RefinedWeb/Dolma all cluster via union-find over the pair graph)
+    because keeping one representative per component is the only policy
+    that is order-independent and idempotent. This operator IS that step,
+    distributed: the engine's large-star/small-star components over the
+    pair graph — O(log d) rounds, no driver-side union-find, no collect.
+    Every doc appearing in ``pairs`` (columns a, b) gets a row; docs with
+    no candidate pair are absent (they are their own canonical).
+    """
+    from engine.algos.cc import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = connected_components(spark, edges).labels
+    return labels.select(
+        F.col("vid").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def dedup_corpus(spark, docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """``docs`` with every non-canonical member of each near-dup cluster
+    removed (one survivor — the min doc_id — per transitive cluster).
+
+    The loser set is O(duplicates), aggregated before it ever meets the
+    corpus, and the removal is a single left-anti hash join — the corpus
+    itself is scanned once and never shuffled."""
+    losers = (
+        dedup_clusters(spark, pairs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "anti")
