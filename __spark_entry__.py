@@ -495,16 +495,39 @@ def _q_d_exact_groups(spark, sf):
     duplicate subset: the raw corpus has no byte-identical docs at small sf,
     which made the round-1 check pass vacuously on 0 rows (VERDICT r1 item
     7) — the injected dups make the operator's group/keep logic observable.
+
+    r4: the former d2 (exact_dedup survivor anti-join) is merged in — each
+    group row now also carries the survivor count and min survivor id as
+    observed through ``exact_dedup`` itself (n_kept must be 1 and kept_min
+    must equal keep_id for every dup group), so one row set value-witnesses
+    both the grouping and the anti-join survivorship; the freed slot goes
+    to d7 (transitive dedup clustering).
     """
     docs = _tbl(spark, sf, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
     )
-    return D.exact_dup_groups(docs.unionByName(dups))
+    docs2 = docs.unionByName(dups)
+    groups = D.exact_dup_groups(docs2)
+    kept = D.exact_dedup(docs2).select(
+        F.sha2("text", 256).alias("h"), "doc_id"
+    )
+    kept_per_group = kept.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("kept_min")
+    )
+    return groups.join(kept_per_group, "h")
 
 
-def _q_d_exact_dedup(spark, sf):
-    return D.exact_dedup(_tbl(spark, sf, "documents")).select("doc_id", "lang", "source")
+def _q_d_clusters(spark, sf):
+    """d7: transitive near-dup clusters — the d3 candidate-pair graph fed
+    through large-star/small-star connected components (the removal unit of
+    production MinHash dedup; engine/dedup.py::dedup_clusters). Portable
+    hashing keeps the ENTIRE pipeline value-mirrorable: the oracle rebuilds
+    the same pairs in SQL and closes them with a recursive CTE."""
+    cands = D.minhash_candidates(
+        _tbl(spark, sf, "documents"), k=16, bands=4, portable=True
+    ).select("a", "b")
+    return D.dedup_clusters(spark, cands)
 
 
 def _q_d_minhash(spark, sf):
@@ -698,8 +721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     m2 into m1, m5 into m3, n1 (streaming rollup in batch mode) added,
     u3 merged into u2 to make room for g11 (k-core + link scores),
     j5 merged into j4 to make room for g12 (weighted SSSP), f3 merged
-    into f2 (r4) to make room for g13 (SCC), and w3 merged into w2 (r4)
-    to make room for w5 (sessionization)."""
+    into f2 (r4) to make room for g13 (SCC), w3 merged into w2 (r4)
+    to make room for w5 (sessionization), and d2 merged into d1 (r4 —
+    the group rows now witness exact_dedup's survivors directly) to make
+    room for d7 (transitive dedup clustering via CC over the d3 pair
+    graph)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -748,11 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_bm25": _q_t_bm25,
         # dedup
         "d1_exact_groups": _q_d_exact_groups,
-        "d2_exact_dedup": _q_d_exact_dedup,
         "d3_minhash_candidates": _q_d_minhash,
         "d4_simhash_pairs": _q_d_simhash,
         "d5_ngram_jaccard": _q_d_jaccard,
         "d6_embed_neardup": _q_d_embed_neardup,
+        "d7_dedup_clusters": _q_d_clusters,
         # similarity
         "s1_ann_topk": _q_s_ann_topk,
         "s2_srp_topk": _q_s_srp_topk,
@@ -1665,10 +1691,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id + 10000000, text FROM documents
                 WHERE doc_id % 50 = 0
+            ),
+            kept AS (
+                SELECT doc_id, sha256(text) AS h FROM docs2
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM docs2 GROUP BY sha256(text)
+                )
+            ),
+            groups AS (
+                SELECT sha256(text) AS h, count(*) AS n_docs,
+                       min(doc_id) AS keep_id
+                FROM docs2 GROUP BY 1 HAVING count(*) > 1
             )
-            SELECT sha256(text) AS h, count(*) AS n_docs,
-                   min(doc_id) AS keep_id
-            FROM docs2 GROUP BY 1 HAVING count(*) > 1
+            SELECT g.h, g.n_docs, g.keep_id,
+                   count(k.doc_id) AS n_kept, min(k.doc_id) AS kept_min
+            FROM groups g JOIN kept k USING (h)
+            GROUP BY 1, 2, 3
         """,
         # d5: exact n-gram Jaccard over shared-shingle candidates — full
         # value-level mirror of _shingles + ngram_jaccard_pairs.
@@ -1702,10 +1740,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = cands.b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
         """,
-        "d2_exact_dedup": (
-            "SELECT doc_id, lang, source FROM documents WHERE doc_id IN ("
-            "SELECT min(doc_id) FROM documents GROUP BY sha256(text))"
-        ),
+        # d7: transitive closure of the d3 pair graph (min-id canonical) —
+        # the same recursive-CTE family as the g5 closure oracle.
+        "d7_dedup_clusters": f"""
+            WITH RECURSIVE p AS (SELECT a, b FROM ({d3_sql})),
+            und AS (
+                SELECT a AS u, b AS v FROM p
+                UNION
+                SELECT b, a FROM p
+            ),
+            nodes AS (SELECT DISTINCT u AS n FROM und),
+            reach(x, y) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.x, und.v FROM reach r JOIN und ON und.u = r.y
+            )
+            SELECT x AS doc_id, min(y) AS canonical_id
+            FROM reach GROUP BY 1
+        """,
         # d3/d4: the harness runs the LSH pipelines with portable=True
         # (md5-family hashes) so the ENTIRE pipeline — shingles/tokens,
         # signatures, band keys, bucket caps, pairs, estimates — is mirrored
