@@ -668,9 +668,11 @@ def _q_m_meta(spark, sf):
 
 
 def _q_m_decode(spark, sf):
-    """m3: decode stub dims + resize stub dims per item (merged with the
-    former m5 in r3 — both are per-doc mapInPandas stages over the same
-    scan; the resize columns are r_-prefixed)."""
+    """m3: decode stub dims + resize stub dims + frame-sample fan-out in one
+    witnessed result (former m3+m5 merged in r3; former m4 merged in r4 to
+    free a slot for d8). Rows are (doc, frame)-grained: sample_frames is the
+    one-to-many mapInPandas stage, decode/resize dims join on per doc. Every
+    multimodal op (decode_media, resize_media, sample_frames) still runs."""
     media = M.attach_binary(_tbl(spark, sf, "documents"))
     dec = M.decode_media(media, decoder=M.fake_decoder).select(
         "doc_id", "width", "height", "n_frames"
@@ -681,15 +683,26 @@ def _q_m_decode(spark, sf):
         F.col("meta.height").alias("r_height"),
         F.col("meta.n_bytes").alias("r_bytes"),
     )
-    return dec.join(rez, "doc_id")
+    frames = M.sample_frames(media, n_frames=4).select(
+        "doc_id", "frame_idx", F.col("n_bytes").alias("frame_bytes")
+    )
+    return frames.join(dec, "doc_id").join(rez, "doc_id")
 
 
-def _q_m_frames(spark, sf):
-    """m4: one-to-many mapInPandas frame sampling. Chunk lengths are a pure
-    function of (payload bytes, k), so the fan-out is value-verified."""
-    media = M.attach_binary(_tbl(spark, sf, "documents"))
-    return M.sample_frames(media, n_frames=4).select(
-        "doc_id", "frame_idx", "n_bytes"
+def _q_d_paragraph_dedup(spark, sf):
+    """d8: corpus-wide exact paragraph dedup (C4/CCNet/RefinedWeb practice —
+    sub-document granularity, new r4). The synthetic documents are
+    single-line, so the query first inserts a paragraph break every 5 words
+    (deterministic regexp both engines can mirror), then keeps each distinct
+    paragraph only at its globally-first (doc_id, para_idx) occurrence and
+    rebuilds documents from the survivors in original order."""
+    docs = _tbl(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+\s+){5})", "$1\n\n").alias("text"),
+    )
+    out = D.paragraph_dedup(docs)
+    return out.select(
+        "doc_id", F.col("text").alias("text_dedup"), "n_paras", "n_kept"
     )
 
 
@@ -779,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_ngram_jaccard": _q_d_jaccard,
         "d6_embed_neardup": _q_d_embed_neardup,
         "d7_dedup_clusters": _q_d_clusters,
+        "d8_paragraph_dedup": _q_d_paragraph_dedup,
         # similarity
         "s1_ann_topk": _q_s_ann_topk,
         "s2_srp_topk": _q_s_srp_topk,
@@ -786,7 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "m1_media_meta": _q_m_meta,
         "m3_decode_stub": _q_m_decode,
-        "m4_frame_sample": _q_m_frames,
         # streaming (batch-mode drive of the windowed rollup)
         "n1_streaming_rollup": _q_n_streaming_rollup,
     }
@@ -1758,6 +1771,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT x AS doc_id, min(y) AS canonical_id
             FROM reach GROUP BY 1
         """,
+        # d8: paragraph-grain exact dedup — same 5-word paragraph-break
+        # insertion as the Spark query (backref replacement; '\1'||chr(10)
+        # twice, NOT an e-string where \1 is octal), raw-split index BEFORE
+        # empty-trim filtering (mirrors posexplode-then-filter), winner =
+        # min (doc_id, para_idx) per distinct paragraph, docs rebuilt in
+        # original order; fully-deduped docs vanish (inner join).
+        "d8_paragraph_dedup": """
+            WITH docs2 AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(text, '((\\S+\\s+){5})',
+                                          '\\1' || chr(10) || chr(10), 'g'),
+                           chr(10) || chr(10)) AS l
+                FROM documents
+            ),
+            rawp AS (
+                SELECT doc_id, CAST(u.i - 1 AS INT) AS para_idx,
+                       trim(l[u.i]) AS para
+                FROM docs2, UNNEST(generate_series(1, len(l))) AS u(i)
+            ),
+            np AS (SELECT * FROM rawp WHERE length(para) >= 1),
+            kept AS (
+                SELECT doc_id, para_idx, para FROM (
+                    SELECT doc_id, para_idx, para,
+                           row_number() OVER (PARTITION BY para
+                                              ORDER BY doc_id, para_idx) AS rn
+                    FROM np) WHERE rn = 1
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM np GROUP BY 1)
+            SELECT k.doc_id,
+                   string_agg(k.para, chr(10) || chr(10)
+                              ORDER BY k.para_idx) AS text_dedup,
+                   any_value(t.n_paras) AS n_paras,
+                   count(*) AS n_kept
+            FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+            GROUP BY k.doc_id
+        """,
         # d3/d4: the harness runs the LSH pipelines with portable=True
         # (md5-family hashes) so the ENTIRE pipeline — shingles/tokens,
         # signatures, band keys, bucket caps, pairs, estimates — is mirrored
@@ -1787,26 +1837,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
             "max(octet_length(encode(text))) AS max_bytes FROM documents) s"
         ),
-        # m3: fake_decoder dims (pure function of payload byte length) +
-        # resize-stub dims (former m3 + m5; resize emits width*height bytes)
-        "m3_decode_stub": (
-            "SELECT doc_id, "
-            "CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width, "
-            "CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height, "
-            "CAST(1 AS INT) AS n_frames, "
-            "CAST(64 AS INT) AS r_width, CAST(48 AS INT) AS r_height, "
-            "CAST(3072 AS BIGINT) AS r_bytes FROM documents"
-        ),
-        # m4: frame-sample chunk lengths: k = min(4, n); len_i = n//k plus
-        # one for the first n%k frames (multimodal.sample_frames).
-        "m4_frame_sample": """
+        # m3: frame-sample fan-out rows (k = min(4, n); len_i = n//k plus
+        # one for the first n%k frames — multimodal.sample_frames) joined
+        # with fake_decoder dims (pure function of payload byte length) and
+        # resize-stub dims (former m3 + m5 merged r3; former m4 merged r4).
+        "m3_decode_stub": """
             WITH m AS (
                 SELECT doc_id, octet_length(encode(text)) AS n
                 FROM documents WHERE octet_length(encode(text)) > 0
             ), f AS (SELECT doc_id, n, least(4, n) AS k FROM m)
             SELECT doc_id, CAST(i AS INT) AS frame_idx,
                    CAST(n // k + CASE WHEN i < n % k THEN 1 ELSE 0 END
-                        AS BIGINT) AS n_bytes
+                        AS BIGINT) AS frame_bytes,
+                   CAST((n % 640) + 1 AS INT) AS width,
+                   CAST((n % 480) + 1 AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames,
+                   CAST(64 AS INT) AS r_width, CAST(48 AS INT) AS r_height,
+                   CAST(3072 AS BIGINT) AS r_bytes
             FROM f, UNNEST(generate_series(0, k - 1)) AS u(i)
         """,
         # n1: tumbling-window rollup — DuckDB time_bucket aligns to

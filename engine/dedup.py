@@ -396,3 +396,112 @@ def dedup_corpus(spark, docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     return docs.join(losers, "doc_id", "anti")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (sub-document granularity — C4/CCNet/RefinedWeb
+# practice: exact-duplicate paragraphs/lines are removed corpus-wide, keeping
+# only the globally-first occurrence, and paragraphs that recur across too
+# many documents are treated as boilerplate and dropped everywhere).
+#
+# Scale notes: one posexplode (paragraph table is O(corpus bytes), same order
+# as the input), one partial-aggregable groupBy on the paragraph hash (the
+# winner per distinct paragraph), one equi-join back on that hash (AQE skew
+# handling covers mega-frequency boilerplate keys), and one groupBy doc_id to
+# reassemble. No Python UDFs, no windows over the full corpus, no collect.
+
+
+def split_paragraphs(
+    docs: DataFrame, delim: str = r"\n{2,}", min_chars: int = 1
+) -> DataFrame:
+    """(doc_id, para_idx, para): delimiter-split paragraphs, trimmed.
+
+    ``para_idx`` is the position in the RAW split array (before empties are
+    dropped), so surviving paragraphs keep their original relative order and
+    the index is reproducible by any engine that splits the same way.
+    Parts whose trimmed length is below ``min_chars`` are dropped.
+    """
+    parts = F.posexplode(F.split(F.col("text"), delim))
+    return (
+        docs.select("doc_id", parts.alias("para_idx", "para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") >= min_chars)
+    )
+
+
+def paragraph_dup_stats(docs: DataFrame, delim: str = r"\n{2,}") -> DataFrame:
+    """(para, n_occ, n_docs) for every paragraph occurring more than once —
+    the corpus boilerplate profile. Partial-aggregable; skew-safe."""
+    paras = split_paragraphs(docs, delim)
+    return (
+        paras.groupBy("para")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    delim: str = r"\n{2,}",
+    min_chars: int = 1,
+    sep: str = "\n\n",
+    drop_common_above: int | None = None,
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: each distinct paragraph survives
+    only at its globally-first occurrence (min ``(doc_id, para_idx)``), and
+    documents are rebuilt from their surviving paragraphs in original order.
+
+    Returns (doc_id, text, n_paras, n_kept); documents whose every paragraph
+    loses are dropped (their rebuilt text would be empty).
+
+    ``drop_common_above``: if set, a paragraph appearing in MORE than that
+    many distinct documents is boilerplate — removed from EVERY document
+    (no winner kept), the CCNet line-dedup policy.
+
+    Winner selection groups on sha2-256 of the paragraph — exact-string
+    semantics up to hash collision (2^-128, the same assumption as
+    ``exact_dedup``). The winner struct min and the occurrence counts are
+    partial-aggregable, so duplicate skew (boilerplate paragraphs with 10^6
+    occurrences) is absorbed map-side; the join back on ``ph`` is the one
+    potentially-skewed exchange and is left to AQE skew-join splitting.
+    """
+    paras = split_paragraphs(docs, delim, min_chars).withColumn(
+        "ph", F.sha2("para", 256)
+    )
+    win = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("w"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    if drop_common_above is not None:
+        win = win.filter(F.col("n_docs") <= drop_common_above)
+    kept = (
+        paras.join(win, "ph")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("para_idx") == F.col("w.para_idx"))
+        )
+        .select("doc_id", "para_idx", "para")
+    )
+    n_tot = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("para_idx", "para"))).alias(
+                "ps"
+            ),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(sep, F.expr("transform(ps, x -> x.para)")).alias(
+                "text"
+            ),
+            "n_kept",
+        )
+    )
+    return rebuilt.join(n_tot, "doc_id").select(
+        "doc_id", "text", "n_paras", "n_kept"
+    )

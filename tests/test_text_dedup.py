@@ -420,3 +420,93 @@ def test_ivf_topk_structure_and_recall(spark):
     asn = S.ivf_assignments(emb, dim=64)
     assert asn.count() == emb.count()
     assert asn.select("id").distinct().count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (r4): plain-Python oracle over a hand-built corpus
+
+
+def _py_paragraph_dedup(rows, drop_common_above=None):
+    import re as _re
+
+    paras, per_doc = [], {}
+    for doc_id, text in rows:
+        for idx, p in enumerate(_re.split(r"\n{2,}", text)):
+            p = p.strip()
+            if p:
+                paras.append((doc_id, idx, p))
+                per_doc[doc_id] = per_doc.get(doc_id, 0) + 1
+    ndocs = {}
+    for doc_id, idx, p in paras:
+        ndocs.setdefault(p, set()).add(doc_id)
+    first = {}
+    for doc_id, idx, p in sorted(paras):
+        if drop_common_above is not None and len(ndocs[p]) > drop_common_above:
+            continue
+        first.setdefault(p, (doc_id, idx))
+    out = {}
+    for doc_id, idx, p in sorted(paras):
+        if first.get(p) == (doc_id, idx):
+            out.setdefault(doc_id, []).append(p)
+    return {
+        d: ("\n\n".join(ps), per_doc[d], len(ps)) for d, ps in out.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+        (2, "shared boilerplate\n\ndelta\n\nalpha beta"),
+        (3, "shared boilerplate\n\n\n\n  \n\nepsilon"),
+        (4, "alpha beta"),
+        (5, "   \n\n  "),          # all-empty paragraphs -> doc vanishes
+        (6, "zeta\n\n\nzeta"),      # \n{2,} delim: 3 newlines = one break
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_matches_python_oracle(para_docs):
+    rows, df = para_docs
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_kept)
+        for r in D.paragraph_dedup(df).collect()
+    }
+    assert got == _py_paragraph_dedup(rows)
+    # doc 5 (only empty paragraphs) must be absent, not empty-stringed
+    assert 5 not in got
+    # globally-first winner: doc 1 keeps "shared boilerplate", docs 2-3 lose
+    assert "shared boilerplate" in got[1][0]
+    assert "shared boilerplate" not in got[2][0]
+
+
+def test_paragraph_dedup_drop_common_mode(para_docs):
+    rows, df = para_docs
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_kept)
+        for r in D.paragraph_dedup(df, drop_common_above=2).collect()
+    }
+    assert got == _py_paragraph_dedup(rows, drop_common_above=2)
+    # boilerplate in >2 docs is removed EVERYWHERE, including its first home
+    assert all("shared boilerplate" not in t for t, _, _ in got.values())
+    # intra-doc dup still deduped (doc 6), inter-doc pair (<=2 docs) kept once
+    assert got[6] == ("zeta", 2, 1)
+
+
+def test_paragraph_dup_stats(para_docs):
+    rows, df = para_docs
+    stats = {r.para: (r.n_occ, r.n_docs)
+             for r in D.paragraph_dup_stats(df).collect()}
+    assert stats["shared boilerplate"] == (3, 3)
+    assert stats["alpha beta"] == (3, 3)
+    assert stats["zeta"] == (2, 1)
+    assert "gamma" not in stats  # singletons excluded
+
+
+def test_paragraph_dedup_idempotent(para_docs):
+    _, df = para_docs
+    once = D.paragraph_dedup(df)
+    twice = D.paragraph_dedup(once.select("doc_id", "text"))
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b
