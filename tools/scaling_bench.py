@@ -277,6 +277,31 @@ def host_microbench() -> dict:
     return out
 
 
+ROUNDS_PATH = os.path.join(REPO, "BENCH", "scaling_rounds.jsonl")
+
+
+def _load_rounds() -> list[dict]:
+    """Completed rounds from a previous (possibly killed) campaign.
+
+    Two r4 campaigns died mid-flight with their launching session (the
+    sandbox reaps the process group AND its tmpfs scratch), losing every
+    finished round. Each round is now appended to scaling_rounds.jsonl the
+    moment it completes, and a relaunch resumes from there — only rounds
+    whose (rows, iters) match the current campaign config are reused.
+    """
+    rounds: list[dict] = []
+    if os.path.exists(ROUNDS_PATH):
+        with open(ROUNDS_PATH) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn write from a killed campaign
+                if rec.get("rows") == ROWS and rec.get("iters") == ITERS:
+                    rounds.append(rec)
+    return rounds
+
+
 def orchestrate() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -294,17 +319,27 @@ def orchestrate() -> None:
     # measured 7.3s and 25.8s per iteration). The 4N side runs 4 inner
     # reps so it spans the same wall-clock as N's single rep. Repeated
     # REPEATS times; the headline is the POOLED efficiency below.
-    pairs: list[dict] = []
-    runs32: list[dict] = []
-    for rep in range(REPEATS):
+    done = _load_rounds()
+    pairs: list[dict] = [d["pair"] for d in done]
+    runs32: list[dict] = [d["p32"] for d in done]
+    if done:
+        print(f"resuming: {len(done)} completed round(s) on disk",
+              file=sys.stderr, flush=True)
+    for rep in range(len(done), REPEATS):
         with ThreadPoolExecutor(2) as ex:
             f2 = ex.submit(submit, 2, zip_path, "0-1", 1)
             f8 = ex.submit(submit, 8, zip_path, "8-15", 4)
             r2, r8 = f2.result(), f8.result()
         eff_pair = round((r2["median_iter_s"] / r8["median_iter_s"]) / 4.0, 3)
-        pairs.append({"eff": eff_pair, "p2": r2, "p8": r8})
+        pair = {"eff": eff_pair, "p2": r2, "p8": r8}
+        pairs.append(pair)
         r32 = submit(32, zip_path, "0-31", 1)
         runs32.append(r32)
+        with open(ROUNDS_PATH, "a") as fh:
+            fh.write(json.dumps(
+                {"rep": rep, "rows": ROWS, "iters": ITERS,
+                 "pair": pair, "p32": r32}
+            ) + "\n")
         print(
             f"round {rep}: p2 {r2['median_iter_s']}s  p8 {r8['median_iter_s']}s"
             f"  eff {eff_pair}  |  p32 {r32['median_iter_s']}s",
