@@ -1,0 +1,145 @@
+"""Louvain vs exact oracles.
+
+The contract a CONVERGED Louvain run (with the final original-granularity
+refinement pass) actually guarantees is single-vertex local optimality of
+Newman modularity on the input graph — so the primary oracle is an exact
+pure-python sweep: no vertex can improve Q by moving to any neighbor
+community (or to isolation). Q itself is cross-checked against
+networkx.community.modularity (exact, weighted), and solution QUALITY
+against networkx's own louvain_communities on the same graph. On planted
+structure (ring of cliques, two cliques with one bridge) the optimum is
+known and recovery is asserted exactly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import networkx as nx
+
+from engine.algos.louvain import louvain
+from tests.conftest import edges_df, vertices_df
+
+
+def _labels(res) -> dict[int, int]:
+    return {r.vid: r.label for r in res.labels.collect()}
+
+
+def _nx_modularity(g, labels) -> float:
+    comms = defaultdict(set)
+    for v, c in labels.items():
+        comms[c].add(v)
+    return nx.community.modularity(g, comms.values(), weight="weight")
+
+
+def assert_locally_optimal(g, labels, tol=1e-7):
+    """Exact sweep: for every vertex, staying must score >= moving to any
+    neighbor community, under the same gain formula Newman ΔQ reduces to.
+    (Graphs here have no self-loops, so k = weighted degree directly.)"""
+    m = g.size(weight="weight")
+    k = {
+        v: sum(d.get("weight", 1.0) for _, _, d in g.edges(v, data=True))
+        for v in g
+    }
+    tot = defaultdict(float)
+    for v in g:
+        tot[labels[v]] += k[v]
+    for v in g:
+        kin = defaultdict(float)
+        for _, u, d in g.edges(v, data=True):
+            kin[labels[u]] += d.get("weight", 1.0)
+        cur = labels[v]
+        s_cur = kin.get(cur, 0.0) / m - k[v] * (tot[cur] - k[v]) / (2 * m * m)
+        for c, kc in kin.items():
+            if c == cur:
+                continue
+            s = kc / m - k[v] * tot[c] / (2 * m * m)
+            assert s - s_cur <= tol, (
+                f"vertex {v}: moving {cur}->{c} improves ΔQ by {s - s_cur}"
+            )
+
+
+def _run(spark, g, **kw):
+    pairs = [
+        (u, v, d.get("weight", 1.0)) for u, v, d in sorted(g.edges(data=True))
+    ]
+    return louvain(
+        spark, edges_df(spark, pairs), vertices=vertices_df(spark, sorted(g)), **kw
+    )
+
+
+def test_two_cliques_one_bridge_exact_recovery_and_determinism(spark):
+    g = nx.Graph()
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                g.add_edge(base + i, base + j, weight=1.0)
+    g.add_edge(0, 5, weight=1.0)
+    res = _run(spark, g)
+    assert res.converged
+    lab = _labels(res)
+    # exact planted structure: each clique one community, min-vid labels
+    assert {v: lab[v] for v in range(5)} == {v: 0 for v in range(5)}
+    assert {v: lab[v] for v in range(5, 10)} == {v: 5 for v in range(5, 10)}
+    assert abs(res.modularity - _nx_modularity(g, lab)) < 1e-9
+    assert_locally_optimal(g, lab)
+    # bit-determinism: a fresh run returns the identical assignment
+    res2 = _run(spark, g)
+    assert _labels(res2) == lab
+    assert res2.modularity == res.modularity
+
+
+def test_ring_of_cliques_exact_recovery(spark):
+    g = nx.ring_of_cliques(4, 4)
+    res = _run(spark, g)
+    assert res.converged
+    lab = _labels(res)
+    # communities = the 4 cliques (vertices 4c..4c+3), labeled by min vid
+    for c in range(4):
+        members = {lab[v] for v in range(4 * c, 4 * c + 4)}
+        assert members == {4 * c}
+    assert abs(res.modularity - _nx_modularity(g, lab)) < 1e-9
+    assert_locally_optimal(g, lab)
+
+
+def test_karate_local_optimality_and_quality_vs_networkx(spark):
+    g = nx.karate_club_graph()
+    res = _run(spark, g)
+    assert res.converged
+    lab = _labels(res)
+    assert set(lab) == set(g)
+    assert abs(res.modularity - _nx_modularity(g, lab)) < 1e-9
+    assert_locally_optimal(g, lab)
+    # quality parity: within noise of networkx's own Louvain (both are
+    # greedy heuristics; karate's known optimum is Q ~= 0.4198)
+    nx_comms = nx.community.louvain_communities(g, seed=7)
+    nx_q = nx.community.modularity(g, nx_comms)
+    assert res.modularity >= nx_q - 0.03
+    assert res.modularity >= 0.35
+
+
+def test_weighted_structure_overrides_topology(spark):
+    # 6-cycle where alternating heavy edges dictate 3 heavy pairs; topology
+    # alone (unweighted) would prefer two arcs of 3.
+    g = nx.Graph()
+    heavy, light = 10.0, 0.1
+    for i in range(6):
+        g.add_edge(i, (i + 1) % 6, weight=heavy if i % 2 == 0 else light)
+    res = _run(spark, g)
+    assert res.converged
+    lab = _labels(res)
+    # heavy pairs (0,1) (2,3) (4,5) must be co-assigned, pairs distinct
+    assert lab[0] == lab[1] and lab[2] == lab[3] and lab[4] == lab[5]
+    assert len({lab[0], lab[2], lab[4]}) == 3
+    assert abs(res.modularity - _nx_modularity(g, lab)) < 1e-9
+    assert_locally_optimal(g, lab)
+
+
+def test_no_edges_singletons(spark):
+    res = louvain(
+        spark,
+        edges_df(spark, []),
+        vertices=vertices_df(spark, range(4)),
+    )
+    assert res.converged and res.modularity == 0.0
+    assert _labels(res) == {v: v for v in range(4)}
