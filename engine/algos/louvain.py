@@ -374,6 +374,15 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
         final.join(rep, "label").select("vid", F.col("rep").alias("label"))
     )
     final.unpersist()
+    mapping.unpersist()
+    vids.unpersist()
+    if level is not base:
+        level.pairs.unpersist()
+        level.selfw.unpersist()
+        level.deg.unpersist()
+    base.pairs.unpersist()
+    base.selfw.unpersist()
+    base.deg.unpersist()
     return LouvainResult(
         labels=labels,
         modularity=q,

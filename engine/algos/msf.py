@@ -162,11 +162,12 @@ def _boruvka(spark, edges, vertices, weight_col, max_rounds):
         chosen = sel.select(
             F.col("ou").alias("u"), F.col("ov").alias("v"), F.col("w").alias("weight")
         ).distinct()
-        forest = (
-            fresh_checkpoint(chosen)
-            if forest is None
-            else fresh_checkpoint(forest.unionByName(chosen))
-        )
+        if forest is None:
+            forest = fresh_checkpoint(chosen)
+        else:
+            grown = fresh_checkpoint(forest.unionByName(chosen))
+            forest.unpersist()
+            forest = grown
 
         # Selection pseudo-forest: c points across its min edge. A cycle
         # would contain a non-minimal edge selected as some component's
