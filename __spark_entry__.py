@@ -177,6 +177,9 @@ def _q_semi_anti_join(spark, sf):
 
 
 def _q_pricing_summary(spark, sf):
+    """A1 sum/avg/count + A2 min/max witnessed in ONE scan (a2_minmax
+    merged in, r4 — same partial-aggregable groupBy; freed the 50-window
+    slot for g14_topo_layers)."""
     li = _tbl(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
@@ -185,16 +188,10 @@ def _q_pricing_summary(spark, sf):
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.lit(1)).alias("n"),
         )
-    )
-
-
-def _q_minmax(spark, sf):
-    s = _tbl(spark, sf, "supplier")
-    return s.groupBy("s_nationkey").agg(
-        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
-        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
     )
 
 
@@ -449,6 +446,28 @@ def _q_g_scc(spark, sf):
     if not res.converged:
         raise RuntimeError("g13: SCC did not converge at harness scale")
     return res.labels.select("vid", "label")
+
+
+def _q_g_topo(spark, sf):
+    """g14: topological layering (engine.algos.toposort — Kahn peel,
+    layer = LONGEST-path depth) over a heap-shaped DAG derived from
+    documents: v -> 2v+1 and v -> 2v+2 (heap tree, depth ~= log2 n) plus
+    a shortcut v -> 4v+3 for v % 3 == 0. The shortcut reaches its target
+    one hop EARLIER than the tree path, so a BFS/shortest-path layering
+    would disagree with the longest-path semantics on exactly those
+    vertices — the recursive-CTE oracle (MAX over all path depths)
+    discriminates them."""
+    from engine.algos.toposort import topological_layers
+
+    docs = _tbl(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), (d * 2 + 1).alias("dst"))
+    e2 = docs.select(d.alias("src"), (d * 2 + 2).alias("dst"))
+    e3 = docs.filter(d % 3 == 0).select(d.alias("src"), (d * 4 + 3).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3).filter(F.col("dst") < n)
+    res = topological_layers(spark, edges, require_dag=True)
+    return res.layers.select("vid", F.col("layer").cast("int").alias("layer"))
 
 
 def _q_g_personalized_pr(spark, sf):
@@ -754,7 +773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_range_join": _q_j7_range,
         # B.4 aggregations
         "a1_pricing_summary": _q_pricing_summary,
-        "a2_minmax": _q_minmax,
         "a4_collect": _q_collect,
         "a5_approx_distinct": _q_a_approx_distinct,
         "a6_cube": _q_cube,
@@ -780,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_density": _q_g_density,
         "g12_sssp": _q_g_sssp,
         "g13_scc": _q_g_scc,
+        "g14_topo_layers": _q_g_topo,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1328,13 +1347,11 @@ def oracle_sql() -> dict[str, str]:
         "a1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_price, "
-            "round(avg(l_discount), 4) AS avg_disc, count(*) AS n "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "round(min(l_extendedprice), 2) AS min_price, "
+            "round(max(l_extendedprice), 2) AS max_price, count(*) AS n "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY 1, 2"
-        ),
-        "a2_minmax": (
-            "SELECT s_nationkey, round(min(s_acctbal), 2) AS min_bal, "
-            "round(max(s_acctbal), 2) AS max_bal FROM supplier GROUP BY 1"
         ),
         "a4_collect": (
             "SELECT lang, count(DISTINCT source) AS n_sources "
@@ -1568,6 +1585,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT r1.a AS vid, min(r1.b) AS label
             FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
             GROUP BY 1
+        """,
+        # g14: longest-path layering — enumerate every source->vid path
+        # depth (bounded: heap DAG, depth ~log2 n, in-degree <= 2), take
+        # MAX per vertex. A BFS/min layering would mismatch on shortcut
+        # targets, so the oracle discriminates the longest-path semantics.
+        "g14_topo_layers": """
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src, doc_id*2 + 1 AS dst FROM documents, nn
+                WHERE doc_id*2 + 1 < n
+                UNION ALL
+                SELECT doc_id, doc_id*2 + 2 FROM documents, nn
+                WHERE doc_id*2 + 2 < n
+                UNION ALL
+                SELECT doc_id, doc_id*4 + 3 FROM documents, nn
+                WHERE doc_id % 3 = 0 AND doc_id*4 + 3 < n
+            ),
+            v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+            paths(vid, layer) AS (
+                SELECT vid, 0 FROM v
+                WHERE vid NOT IN (SELECT dst FROM e)
+                UNION ALL
+                SELECT e.dst, p.layer + 1 FROM paths p JOIN e ON e.src = p.vid
+            )
+            SELECT vid, CAST(max(layer) AS INT) AS layer
+            FROM paths GROUP BY 1
         """,
         # g5: min-label components via transitive closure (fine at sf0.01
         # where V*V is bounded); label = vid of the lexicographically
