@@ -36,7 +36,9 @@ from engine.algos.kcore import core_numbers  # noqa: E402
 from engine.algos.linkpred import link_scores  # noqa: E402
 from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.neighborhood import neighborhood_function  # noqa: E402
+from engine.algos.msf import minimum_spanning_forest  # noqa: E402
 from engine.algos.pagerank import pagerank, pagerank_delta  # noqa: E402
+from engine.algos.toposort import topological_layers  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine.algos.walks import random_walks  # noqa: E402
 from engine import dedup as D  # noqa: E402
@@ -197,6 +199,30 @@ def main() -> None:
     extra["kcore_iterations"] = kc.iterations
     kc.cores.unpersist()
     log(f"kcore: {kc.iterations} h-index rounds in {q['kcore_decomposition']:.1f}s")
+
+    # minimum spanning forest (uniform weights stress the tie-break total
+    # order): O(log V) Borůvka rounds, edge table contracts monotonically
+    t0 = time.monotonic()
+    ms = minimum_spanning_forest(spark, e.withColumn("weight", F.lit(1.0)), vertices=v)
+    n_forest = ms.edges.count()
+    q["msf_boruvka"] = time.monotonic() - t0
+    extra["msf"] = {"forest_edges": n_forest, "rounds": ms.rounds}
+    ms.labels.unpersist()
+    ms.edges.unpersist()
+    log(f"msf: {n_forest} forest edges, {ms.rounds} rounds in "
+        f"{q['msf_boruvka']:.1f}s")
+
+    # topological layering of the structural DAG (repo->path->lang):
+    # depth-bounded Kahn peel, edge table never rewritten
+    t0 = time.monotonic()
+    tp = topological_layers(spark, e, vertices=v)
+    tp.layers.count()
+    q["topo_layers"] = time.monotonic() - t0
+    extra["topo"] = {"depth": tp.depth, "is_dag": tp.is_dag}
+    tp.layers.unpersist()
+    tp.unlayered.unpersist()
+    log(f"topo_layers: depth {tp.depth} (dag={tp.is_dag}) in "
+        f"{q['topo_layers']:.1f}s")
 
     # random-walk corpus generation (DeepWalk-style training-data path):
     # one walk per vertex, 8 steps — per step one O(walks) shuffle against
