@@ -267,19 +267,28 @@ def louvain(
     max_rounds: int = 100,
     max_levels: int = 10,
     seed: int = 29,
+    initial_labels: DataFrame | None = None,
 ) -> LouvainResult:
     """Community assignment maximizing weighted Newman modularity over the
     undirected view of ``edges`` (self-loops dropped, parallel edges
-    summed). Deterministic: fixed hash gating, lexicographic tie-breaks."""
+    summed). Deterministic: fixed hash gating, lexicographic tie-breaks.
+
+    ``initial_labels`` (vid, label) warm-starts level-1 local moving from
+    an existing partition instead of singletons — the incremental path
+    (pagerank's ``initial_ranks`` sibling): feeding back a converged
+    partition of the same graph is a fixpoint (returns identical labels
+    in one no-move round, tested), and a partition of yesterday's graph
+    re-converges in a few rounds after an edge fold. Vertices missing
+    from ``initial_labels`` start as singletons."""
     with iterative_conf(spark):
         return _louvain(
             spark, edges, vertices, weight_col, min_gain, max_rounds,
-            max_levels, seed,
+            max_levels, seed, initial_labels,
         )
 
 
 def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
-             max_levels, seed):
+             max_levels, seed, initial_labels=None):
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))
@@ -310,7 +319,16 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
     levels = 0
     n_comm = None
     for levels in range(1, max_levels + 1):
-        init = level.deg.select("vid", F.col("vid").alias("label"))
+        if levels == 1 and initial_labels is not None:
+            init = (
+                level.deg.select("vid")
+                .join(initial_labels.select("vid", "label"), "vid", "left")
+                .select(
+                    "vid", F.coalesce("label", F.col("vid")).alias("label")
+                )
+            )
+        else:
+            init = level.deg.select("vid", F.col("vid").alias("label"))
         lab, r, ok = _local_moving(level, init, min_gain, max_rounds, seed)
         total_rounds += r
         converged = converged and ok

@@ -135,6 +135,54 @@ def test_weighted_structure_overrides_topology(spark):
     assert_locally_optimal(g, lab)
 
 
+def test_warm_start_fixpoint_and_recovery(spark):
+    g = nx.ring_of_cliques(3, 4)
+    res = _run(spark, g)
+    assert res.converged
+    lab = _labels(res)
+    # Feeding the converged partition back is a FIXPOINT: identical labels
+    # and Q, and level-1 local moving finds zero improving moves, so the
+    # total round count collapses vs the cold run.
+    pairs = [
+        (u, v, d.get("weight", 1.0)) for u, v, d in sorted(g.edges(data=True))
+    ]
+    from engine.algos.louvain import louvain
+    from tests.conftest import edges_df, vertices_df
+
+    warm = louvain(
+        spark,
+        edges_df(spark, pairs),
+        vertices=vertices_df(spark, sorted(g)),
+        initial_labels=res.labels,
+    )
+    assert warm.converged
+    assert _labels(warm) == lab
+    assert warm.modularity == res.modularity
+    assert warm.rounds < res.rounds
+    # Warm-starting from a PERTURBED partition (two cliques merged into
+    # one community) converges to a locally optimal partition at least as
+    # good as the start. NOTE the honest contract: local moving can only
+    # move single vertices, never split a community, so the merged start
+    # is itself near a WORSE local optimum than the cold run finds — Q
+    # must improve monotonically from the start, not match the cold run.
+    perturbed = {v: (0 if lab[v] in (0, 4) else lab[v]) for v in lab}
+    q_start = _nx_modularity(g, perturbed)
+    pdf = spark.createDataFrame(
+        sorted(perturbed.items()), "vid long, label long"
+    )
+    warm2 = louvain(
+        spark,
+        edges_df(spark, pairs),
+        vertices=vertices_df(spark, sorted(g)),
+        initial_labels=pdf,
+    )
+    assert warm2.converged
+    lab2 = _labels(warm2)
+    assert_locally_optimal(g, lab2)
+    assert warm2.modularity >= q_start - 1e-9
+    assert abs(warm2.modularity - _nx_modularity(g, lab2)) < 1e-9
+
+
 def test_no_edges_singletons(spark):
     res = louvain(
         spark,
