@@ -454,3 +454,66 @@ def repetition_features(docs: DataFrame, ns: tuple = (2, 3)) -> DataFrame:
             {f"top{n}gram_frac": 0.0, f"dup{n}gram_frac": 0.0}
         )
     return out
+
+
+# ---------------------------------------------------------------- PII pass
+# Regex PII detection/redaction — the standard pre-training scrub (public
+# practice: C4/Dolma/RedPajama ship exactly this class of conservative
+# regex passes; ML-based PII is out of scope offline). Patterns restrict
+# to constructs whose semantics are IDENTICAL in Java regex (Spark JVM)
+# and python `re` — no lookaround, no possessive quantifiers — so the
+# pytest oracle (tests/test_pii.py) runs the very same pattern strings
+# through `re` and asserts exact per-doc equality.
+#
+# Scale notes: detection is one projection of `regexp_count` columns
+# (whole-stage codegen, zero shuffle, zero Python); redaction is a chain
+# of `regexp_replace` in a fixed kind order. Both stream through the scan.
+
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative, no quoted-locals
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}",
+    # dotted quad, each octet 0-255
+    "ipv4": (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+    ),
+    # NANP-ish phone: optional +1, (xxx) or xxx, separators space/dot/dash
+    "phone": r"\b(?:\+?1[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}\b",
+    # US SSN shape
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+# Redaction must apply in a FIXED order: ssn/phone before ipv4 cannot
+# matter (disjoint shapes), but email before ipv4 prevents re-matching
+# inside already-redacted text when replacement tokens contain dots.
+PII_ORDER = ("email", "ipv4", "phone", "ssn")
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document match counts per PII kind + total. One codegen'd
+    projection; no shuffle, no Python."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    total = None
+    for kind in PII_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[PII_{kind}]",
+) -> DataFrame:
+    """Replace every PII match with ``replacement`` (``{kind}`` expands to
+    the pattern name, uppercased). Applies PII_ORDER deterministically;
+    all other columns pass through."""
+    col = F.col(text_col)
+    for kind in PII_ORDER:
+        token = replacement.replace("{kind}", kind.upper())
+        col = F.regexp_replace(col, F.lit(PII_PATTERNS[kind]), F.lit(token))
+    return docs.withColumn(text_col, col)
