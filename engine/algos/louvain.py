@@ -58,8 +58,13 @@ class LouvainResult:
     modularity: float
     levels: int
     rounds: int  # total local-moving rounds across levels + refinement
-    converged: bool  # False => some level hit max_rounds; labels are a valid
-    #                  partition but local optimality is NOT guaranteed
+    converged: bool  # True ONLY if every moving phase ended with zero
+    #                  improving moves (labels locally optimal). False +
+    #                  stalled=True => stopped at the requested
+    #                  stall_fraction progress threshold (valid partition,
+    #                  Q monotone from init, optimality not guaranteed).
+    #                  False + stalled=False => a phase hit max_rounds.
+    stalled: bool = False
 
 
 @dataclass
@@ -143,9 +148,14 @@ def _local_moving(
     min_gain: float,
     max_rounds: int,
     seed: int,
-) -> tuple[DataFrame, int, bool]:
+    stall_count: int = 0,
+) -> tuple[DataFrame, int, str]:
     """Run monotone-Q gated synchronous moving until no improving move
-    EXISTS (the ungated criterion). Returns (labels, rounds, converged)."""
+    EXISTS (the ungated criterion), or — when ``stall_count`` > 0 — until
+    at most that many vertices still have an improving move (the Grappolo
+    per-phase progress threshold, scaled from ``stall_fraction``). Returns
+    (labels, rounds, status) with status in 'optimal' | 'stalled' |
+    'capped'."""
     und = level.pairs.select("a", "b", "w").unionByName(
         level.pairs.select(
             F.col("b").alias("a"), F.col("a").alias("b"), "w"
@@ -220,16 +230,21 @@ def _local_moving(
         # the smallest vid) — never a wasted round on an empty class, and
         # at singleton granularity the applied gain is exact.
         cls = F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(nclasses))
-        top = improving.agg(
+        agg_row = improving.agg(
+            F.count(F.lit(1)).alias("n"),
             F.max(
                 F.struct(
                     F.col("gain"), (-F.col("vid")).alias("nv"), cls.alias("cls")
                 )
-            ).alias("t")
-        ).collect()[0]["t"]
+            ).alias("t"),
+        ).collect()[0]
+        top = agg_row["t"]
         if top is None:
             improving.unpersist()
-            return labels, rounds, True
+            return labels, rounds, "optimal"
+        if stall_count and int(agg_row["n"]) <= stall_count:
+            improving.unpersist()
+            return labels, rounds, "stalled"
         moved = improving.filter(cls == F.lit(top["cls"])).select("vid", "target")
         cand_labels = fresh_checkpoint(
             labels.join(moved, "vid", "left").select(
@@ -255,7 +270,7 @@ def _local_moving(
                     "collision on the top mover (astronomically unlikely) "
                     "or a gain-formula violation; refusing to livelock"
                 )
-    return labels, rounds, False
+    return labels, rounds, "capped"
 
 
 def louvain(
@@ -268,10 +283,19 @@ def louvain(
     max_levels: int = 10,
     seed: int = 29,
     initial_labels: DataFrame | None = None,
+    stall_fraction: float = 0.0,
 ) -> LouvainResult:
     """Community assignment maximizing weighted Newman modularity over the
     undirected view of ``edges`` (self-loops dropped, parallel edges
     summed). Deterministic: fixed hash gating, lexicographic tie-breaks.
+
+    ``stall_fraction`` (default 0 = exact) ends each moving phase once
+    the number of vertices that still have an improving move drops to
+    <= stall_fraction * |V_level| — the per-phase progress threshold every
+    production parallel Louvain ships (Grappolo's threshold heuristic):
+    the convergence TAIL is where a handful of vertices trade tiny gains
+    for hundreds of O(E) rounds. The result is then flagged
+    ``stalled=True, converged=False``; Q is still monotone from the init.
 
     ``initial_labels`` (vid, label) warm-starts level-1 local moving from
     an existing partition instead of singletons — the incremental path
@@ -283,12 +307,12 @@ def louvain(
     with iterative_conf(spark):
         return _louvain(
             spark, edges, vertices, weight_col, min_gain, max_rounds,
-            max_levels, seed, initial_labels,
+            max_levels, seed, initial_labels, stall_fraction,
         )
 
 
 def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
-             max_levels, seed, initial_labels=None):
+             max_levels, seed, initial_labels=None, stall_fraction=0.0):
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("vid"))
@@ -316,9 +340,13 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
     mapping = fresh_checkpoint(vids.select("vid", F.col("vid").alias("label")))
     total_rounds = 0
     converged = True
+    stalled = False
     levels = 0
     n_comm = None
     for levels in range(1, max_levels + 1):
+        stall_count = (
+            int(stall_fraction * level.deg.count()) if stall_fraction else 0
+        )
         if levels == 1 and initial_labels is not None:
             init = (
                 level.deg.select("vid")
@@ -329,9 +357,13 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
             )
         else:
             init = level.deg.select("vid", F.col("vid").alias("label"))
-        lab, r, ok = _local_moving(level, init, min_gain, max_rounds, seed)
+        lab, r, status = _local_moving(
+            level, init, min_gain, max_rounds, seed, stall_count
+        )
         total_rounds += r
-        converged = converged and ok
+        converged = converged and status == "optimal"
+        stalled = stalled or status == "stalled"
+        ok = status != "capped"
         new_mapping = fresh_checkpoint(
             mapping.join(
                 lab.select(F.col("vid").alias("label"), F.col("label").alias("nl")),
@@ -381,9 +413,13 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
     # Refinement at ORIGINAL granularity: guarantees single-vertex local
     # optimality on the input graph (Louvain alone only guarantees it on
     # the coarsest level).
-    final, r, ok = _local_moving(base, mapping, min_gain, max_rounds, seed)
+    final, r, status = _local_moving(
+        base, mapping, min_gain, max_rounds, seed,
+        int(stall_fraction * base.deg.count()) if stall_fraction else 0,
+    )
     total_rounds += r
-    converged = converged and ok
+    converged = converged and status == "optimal"
+    stalled = stalled or status == "stalled"
     q = _q_of(base, final)
 
     # Canonical community ids: min member vid (the cc.py labeling contract).
@@ -407,4 +443,5 @@ def _louvain(spark, edges, vertices, weight_col, min_gain, max_rounds,
         levels=levels,
         rounds=total_rounds,
         converged=converged,
+        stalled=stalled,
     )

@@ -183,6 +183,26 @@ def test_warm_start_fixpoint_and_recovery(spark):
     assert abs(warm2.modularity - _nx_modularity(g, lab2)) < 1e-9
 
 
+def test_stall_fraction_trades_tail_rounds_for_quality(spark):
+    g = nx.karate_club_graph()
+    exact = _run(spark, g)
+    coarse = _run(spark, g, stall_fraction=0.2)
+    # NOTE: per-phase the threshold only ends moving earlier, but a
+    # stalled phase changes the contraction trajectory, so TOTAL rounds
+    # across levels is not comparable — the contract is the flags + Q.
+    # honest flags: either it happened to reach zero improving moves, or
+    # it stopped at the threshold and says so
+    assert coarse.converged or coarse.stalled
+    if coarse.stalled:
+        assert not coarse.converged
+    # still a full valid partition with near-exact quality, Q consistent
+    lab = _labels(coarse)
+    assert set(lab) == set(g)
+    assert abs(coarse.modularity - _nx_modularity(g, lab)) < 1e-9
+    assert coarse.modularity >= exact.modularity - 0.1
+    assert exact.converged and not exact.stalled
+
+
 def test_no_edges_singletons(spark):
     res = louvain(
         spark,
