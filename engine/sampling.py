@@ -116,6 +116,77 @@ def stratified_sample(
     return df.filter(_bucket(key_cols, salt, portable) < expr)
 
 
+def weighted_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    key_cols: list[str],
+    default_weight: float = 1.0,
+    salt: str = "resample",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum multiplicity resampling — the training-mix operator for
+    weights ABOVE 1 (epoch upsampling) as well as below: each row is
+    emitted floor(w) times, plus one more iff its hash bucket falls under
+    frac(w), so E[copies] = w exactly and the variance is the minimum
+    achievable for integer copy counts (copies only ever takes the two
+    values floor(w) and ceil(w) — "stochastic rounding", public knowledge
+    from multilingual-corpus temperature sampling, e.g. the XLM-R /
+    mC4 recipes).
+
+    Adds a ``copy`` column (1..n per source row) so downstream shuffles
+    and dedup can distinguish — or collapse — repeats. Deterministic as a
+    row property: same copies under any partitioning, resume, or engine
+    (the fractional decision reuses the hash_sample bucket). Weight 0
+    drops the stratum; strata absent from ``weights`` get
+    ``default_weight``. No shuffle — one when-chain, one explode."""
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for stratum {k!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def _base_thr(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, int(round((w - base) * M))
+
+    db, dt = _base_thr(default_weight)
+    base_expr, thr_expr = F.lit(db), F.lit(dt)
+    for val, w in weights.items():
+        b, t = _base_thr(w)
+        cond = F.col(stratum_col) == F.lit(val)
+        base_expr = F.when(cond, F.lit(b)).otherwise(base_expr)
+        thr_expr = F.when(cond, F.lit(t)).otherwise(thr_expr)
+    copies = base_expr + F.when(
+        _bucket(key_cols, salt, portable) < thr_expr, F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard explicitly.
+    seq = F.when(copies > 0, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy", F.explode(seq))
+
+
+def temperature_weights(
+    counts: dict[str, int], temperature: float, total: int | None = None
+) -> dict[str, float]:
+    """Per-stratum multipliers realizing temperature-sampled mixture shares
+    q_s ∝ n_s^(1/T) (T=1 keeps natural proportions; T>1 flattens toward
+    uniform — the standard multilingual-training knob). Returns weights
+    w_s = q_s * total / n_s for ``weighted_resample``; ``total`` defaults
+    to sum(counts) so the expected output size equals the input size."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("stratum counts must be positive")
+    n_total = sum(counts.values())
+    if total is None:
+        total = n_total
+    alpha = 1.0 / temperature
+    z = sum(n**alpha for n in counts.values())
+    return {s: (n**alpha / z) * total / n for s, n in counts.items()}
+
+
 def reservoir_per_key(
     df: DataFrame,
     k: int,

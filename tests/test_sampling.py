@@ -116,3 +116,84 @@ def test_fraction_validation(docs):
         SA.reservoir_per_key(docs, 0, ["source"], ["doc_id"])
     with pytest.raises(ValueError):
         SA.split(docs, {"a": 0.0}, ["doc_id"])
+
+
+def test_weighted_resample_expected_multiplicity(docs):
+    """copies ∈ {floor(w), ceil(w)} per row; exact determinism under
+    repartitioning; weight-0 stratum vanishes."""
+    w = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+    out = SA.weighted_resample(docs, w, "source", ["doc_id"])
+    per_row = (
+        out.groupBy("doc_id", "source").agg(F.count("*").alias("c")).collect()
+    )
+    for r in per_row:
+        lo = int(w[r.source])
+        assert r.c in (lo, lo + 1), (r.doc_id, r.source, r.c)
+    assert not [r for r in per_row if r.source == "src2"]
+    # src0 rows appear 2 or 3 times and average near 2.5
+    src0 = [r.c for r in per_row if r.source == "src0"]
+    assert set(src0) <= {2, 3} and 2.3 < sum(src0) / len(src0) < 2.7
+    # copy column enumerates 1..c per source row
+    copies = {
+        (r.doc_id, r.copy) for r in out.filter(F.col("source") == "src0").collect()
+    }
+    d0 = next(r.doc_id for r in per_row if r.source == "src0")
+    c0 = next(r.c for r in per_row if r.doc_id == d0)
+    assert {(d0, i) for i in range(1, c0 + 1)} <= copies
+    # determinism as a row property
+    again = SA.weighted_resample(docs.repartition(17), w, "source", ["doc_id"])
+    assert sorted((r.doc_id, r.copy) for r in out.collect()) == sorted(
+        (r.doc_id, r.copy) for r in again.collect()
+    )
+
+
+def test_weighted_resample_duckdb_mirror(docs):
+    """The fractional-copy decision is value-identical in DuckDB."""
+    out = SA.weighted_resample(
+        docs, {"src0": 1.3}, "source", ["doc_id"],
+        default_weight=0.0, portable=True,
+    )
+    got = sorted((r.doc_id, r.copy) for r in out.collect())
+    con = duckdb.connect()
+    con.register("docs", docs.select("doc_id", "source").toPandas())
+    want = [
+        (r[0], r[1])
+        for r in con.execute(
+            """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(
+                         md5(concat_ws(chr(31), 'resample',
+                                       CAST(doc_id AS VARCHAR))),
+                     1, 15)) AS BIGINT) % 1000000 AS bucket
+              FROM docs WHERE source = 'src0'
+            )
+            SELECT doc_id, u.c AS copy
+            FROM b, UNNEST(range(1, CASE WHEN bucket < 300000
+                                         THEN 3 ELSE 2 END)) AS u(c)
+            ORDER BY doc_id, copy
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_temperature_weights():
+    counts = {"en": 900_000, "sw": 1_000}
+    # T=1: natural proportions -> every weight 1
+    w1 = SA.temperature_weights(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+    # T>1 flattens: low-resource stratum upsampled, high-resource down
+    w3 = SA.temperature_weights(counts, 3.0)
+    assert w3["sw"] > 1.0 > w3["en"]
+    # expected total preserved
+    exp_total = sum(w3[s] * n for s, n in counts.items())
+    assert exp_total == pytest.approx(sum(counts.values()))
+    # T -> inf approaches uniform shares
+    winf = SA.temperature_weights(counts, 1e9)
+    share_sw = winf["sw"] * counts["sw"] / sum(counts.values())
+    assert share_sw == pytest.approx(0.5, abs=1e-3)
+    with pytest.raises(ValueError, match="temperature"):
+        SA.temperature_weights(counts, 0.0)
+    with pytest.raises(ValueError, match="weight"):
+        SA.weighted_resample(None, {"a": -1.0}, "s", ["k"])
