@@ -66,7 +66,10 @@ def _ckpt(df):
     return df.localCheckpoint(eager=True)
 
 
-def _closeness(spark, edges, pivots, max_iter, wf_improved):
+def _bfs_from_pivots(spark, edges, pivots, max_iter, what):
+    """Shared all-pivot BFS: returns (e, verts, piv, n_piv, settled, depth)
+    with settled = (s, vid, dist) for every (pivot, reachable vertex)
+    pair. Caller owns unpersisting e / piv / settled."""
     e = _ckpt(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -124,11 +127,17 @@ def _closeness(spark, edges, pivots, max_iter, wf_improved):
             e.unpersist()
             piv.unpersist()
             raise ValueError(
-                f"closeness BFS did not exhaust within max_iter={max_iter} "
+                f"{what} BFS did not exhaust within max_iter={max_iter} "
                 f"layers; truncated distance sums would yield wrong scores "
                 f"— raise max_iter (graph diameter exceeds the cap)"
             )
+    return e, verts, piv, n_piv, settled, depth
 
+
+def _closeness(spark, edges, pivots, max_iter, wf_improved):
+    e, verts, piv, n_piv, settled, depth = _bfs_from_pivots(
+        spark, edges, pivots, max_iter, "closeness"
+    )
     # Per-vertex sums over NON-SELF pivots (the self row contributes dist=0
     # to T_v but must not count in R_v).
     stats = (
@@ -161,3 +170,52 @@ def _closeness(spark, edges, pivots, max_iter, wf_improved):
     e.unpersist()
     piv.unpersist()
     return ClosenessResult(out, n_piv, depth)
+
+
+def harmonic(
+    spark: SparkSession,
+    edges: DataFrame,
+    pivots: DataFrame | None = None,
+    max_iter: int = 100,
+) -> ClosenessResult:
+    """Harmonic centrality H(v) = Σ 1/d(s, v) over sources s reaching v
+    (Marchiori & Latora 2000; the distance-sum dual of closeness that
+    stays finite on disconnected graphs). With ``pivots=None`` this is
+    EXACTLY ``networkx.harmonic_centrality``; with a sampled pivot set it
+    returns the unbiased plug-in estimate (n-1)/k_v · Σ_{s∈pivots} 1/d —
+    the exact complement to engine/algos/neighborhood.py's HyperBall,
+    which approximates the same quantity with HLL registers in O(D)
+    rounds instead of O(k) BFS trees. Scores column: ``harmonic``."""
+    with iterative_conf(spark):
+        e, verts, piv, n_piv, settled, depth = _bfs_from_pivots(
+            spark, edges, pivots, max_iter, "harmonic"
+        )
+        stats = (
+            settled.filter(F.col("s") != F.col("vid"))
+            .groupBy("vid")
+            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("h"))
+        )
+        n_vert = verts.count()
+        is_piv = piv.select(
+            F.col("s").alias("vid"), F.lit(1).alias("self_piv")
+        )
+        scores = (
+            verts.join(stats, "vid", "left")
+            .join(is_piv, "vid", "left")
+            .withColumn(
+                "k_v", F.lit(n_piv) - F.coalesce("self_piv", F.lit(0))
+            )
+            .select(
+                "vid",
+                F.when(
+                    F.col("k_v") > 0,
+                    F.coalesce("h", F.lit(0.0))
+                    * (F.lit(float(n_vert - 1)) / F.col("k_v")),
+                ).otherwise(F.lit(0.0)).alias("harmonic"),
+            )
+        )
+        out = _ckpt(scores)
+        settled.unpersist()
+        e.unpersist()
+        piv.unpersist()
+        return ClosenessResult(out, n_piv, depth)

@@ -113,3 +113,52 @@ def test_cap_violation_raises(spark):
     pairs = [(i, i + 1) for i in range(6)]
     with pytest.raises(ValueError, match="max_iter"):
         closeness(spark, edges_df(spark, pairs), max_iter=2)
+
+
+# ---------------- harmonic centrality ----------------
+
+from engine.algos.closeness import harmonic  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(HAND_GRAPHS))
+def test_exact_harmonic_hand_graphs(spark, name):
+    pairs = HAND_GRAPHS[name]
+    g = nx.DiGraph(pairs)
+    res = harmonic(spark, edges_df(spark, pairs))
+    got = {r.vid: r.harmonic for r in res.scores.collect()}
+    want = nx.harmonic_centrality(g)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), (v, got, want)
+
+
+def test_exact_harmonic_random_digraph(spark):
+    g = nx.gnm_random_graph(40, 140, seed=29, directed=True)
+    g.remove_nodes_from([v for v in list(g.nodes) if g.degree(v) == 0])
+    res = harmonic(spark, edges_df(spark, list(g.edges)))
+    got = {r.vid: r.harmonic for r in res.scores.collect()}
+    want = nx.harmonic_centrality(g)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_sampled_harmonic_plugin_formula(spark):
+    g = nx.gnm_random_graph(30, 100, seed=41, directed=True)
+    g.remove_nodes_from([v for v in list(g.nodes) if g.degree(v) == 0])
+    pivots = sorted(g.nodes)[:6]
+    res = harmonic(
+        spark, edges_df(spark, list(g.edges)),
+        pivots=vertices_df(spark, pivots).select("vid"),
+    )
+    got = {r.vid: r.harmonic for r in res.scores.collect()}
+    n = g.number_of_nodes()
+    pv = set(pivots)
+    dist_from = {s: nx.single_source_shortest_path_length(g, s) for s in pv}
+    for v in g.nodes:
+        k_v = len(pv) - (1 if v in pv else 0)
+        h = sum(
+            1.0 / dist_from[s][v]
+            for s in pv if s != v and v in dist_from[s]
+        )
+        want = (n - 1) / k_v * h if k_v else 0.0
+        assert got[v] == pytest.approx(want, abs=1e-9), v
