@@ -143,8 +143,11 @@ def filter_domains(
     small side against a 100 TB corpus; the corpus never shuffles."""
     if mode not in ("drop", "keep"):
         raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+    # No distinct on the list side: semi/anti joins are insensitive to
+    # build-side duplicates, and dropping the dedup keeps the whole filter
+    # a single broadcast stage with zero exchanges.
     d = F.broadcast(
-        domains.select(F.col(domains.columns[0]).alias(domain_col)).distinct()
+        domains.select(F.col(domains.columns[0]).alias(domain_col))
     )
     how = "anti" if mode == "drop" else "semi"
     return df.join(d, domain_col, how)
