@@ -235,6 +235,31 @@ def main() -> None:
     wk.unpersist()
     log(f"random_walks: {n_walks} walks in {q['random_walks_8step']:.1f}s")
 
+    # GraphSAGE 2-layer minibatch sampling from ~1% of source vertices,
+    # and the skew profile of the gather key (both round-4 operators)
+    from engine.algos.neighbor_sample import khop_sample
+    from engine.diagnostics import skew_report
+    from engine.sampling import hash_sample
+
+    seeds = hash_sample(
+        e.select(F.col("src").alias("vid")).distinct(), 0.01, ["vid"]
+    )
+    t0 = time.monotonic()
+    n_sage = khop_sample(spark, e, seeds, fanouts=[10, 5]).count()
+    q["khop_sample_2layer"] = time.monotonic() - t0
+    extra["khop_sample_edges"] = n_sage
+    log(f"khop_sample: {n_sage} sampled edges in {q['khop_sample_2layer']:.1f}s")
+
+    t0 = time.monotonic()
+    rep = skew_report(e, ["dst"], top_k=5)
+    q["skew_report_dst"] = time.monotonic() - t0
+    extra["skew"] = {
+        "max_count": rep.max_count, "skew_factor": round(rep.skew_factor, 1),
+        "suggested_salt": rep.suggested_salt,
+    }
+    log(f"skew_report: max {rep.max_count}, salt {rep.suggested_salt} in "
+        f"{q['skew_report_dst']:.1f}s")
+
     # ---- 3b. incremental fold vs full rebuild (engine/incremental.py):
     # fold a ~1% batch into maintained state. The number to compare is
     # incremental_fold vs derive_structural (the full-rebuild cost on the
@@ -394,6 +419,20 @@ def main() -> None:
             both, threshold=0.98, n_planes=64, bands=4, bucket_cap=256
         ).count(),
     )
+
+    # ---- 6. round-4 pipeline operators over the docs table (cheap rows;
+    # heavy ops like Louvain are measured solo in BENCH/BASELINE.md)
+    from engine.packing import pack_sequences
+    from engine.text import token_counts
+
+    t0 = time.monotonic()
+    packed = pack_sequences(
+        token_counts(docs), 2048, "n_tokens", ["doc_id"], streams=cpus
+    )
+    n_pack = packed.select("batch_id").distinct().count()
+    q["pack_sequences_2048"] = time.monotonic() - t0
+    extra["packed_batches"] = n_pack
+    log(f"pack_sequences: {n_pack} batches in {q['pack_sequences_2048']:.1f}s")
 
     total = time.monotonic() - t_all
     out = {
