@@ -28,6 +28,7 @@ from engine import multimodal as M
 from engine import similarity as S
 from engine import text as T
 from engine.algos.cc import connected_components
+from engine.algos.localcluster import ppr_sweep
 from engine.algos.lpa import label_propagation
 from engine.algos.pagerank import pagerank
 from engine.algos.query import context_query
@@ -673,26 +674,43 @@ def _q_d_embed_neardup(spark, sf):
     return S.embedding_neardup(_tbl(spark, sf, "embeddings"), threshold=0.35)
 
 
-def _q_m_meta(spark, sf):
-    """m1: per-item binary metadata + the corpus-level media summary as
-    broadcast columns (merged with the former m2 in r3: same attach_binary
-    scan, and the merge brings every multimodal op inside the driver's
-    50-query CORRECTNESS window — VERDICT r2 item 2)."""
+def _q_g_ppr_sweep(spark, sf):
+    """g15: the sweep-cut engine (engine/algos/localcluster.py) witnessed
+    value-level — per-prefix volume, cut and conductance of the
+    score/degree sweep order over the undirected simple view. The score
+    vector here is the IN-DEGREE (integer-valued doubles), not a PPR run:
+    the sweep API takes any scores (`scores=` is the documented seam), and
+    integer inputs make the ordering ratio and the phi division
+    bit-identical across engines — the PPR vector itself is already
+    driver-witnessed at g9, and PPR+sweep composition is pytest-exact vs
+    networkx (test_localcluster.py)."""
+    v, e = _graph(spark, sf)
+    from engine.graph import in_degrees
+
+    scores = in_degrees(e).select(
+        "vid", F.col("in_deg").cast("double").alias("value")
+    )
+    res = ppr_sweep(spark, e, seeds=[0], scores=scores, top_k=200)
+    return res.sweep.join(v, "vid").select(
+        "sweep_rank", "name", "deg", "vol", "cut",
+        F.col("conductance").alias("phi"),
+    )
+
+
+def _q_m_decode(spark, sf):
+    """m3: the WHOLE multimodal surface in one witnessed result — binary
+    metadata + corpus media summary (former m1+m2, merged here in r4 to
+    free a slot for g15), decode stub dims + resize stub dims +
+    frame-sample fan-out (former m3+m4+m5 merges of r3/r4). Rows are
+    (doc, frame)-grained: sample_frames is the one-to-many mapInPandas
+    stage; decode/resize dims, per-item meta and the broadcast summary
+    join on per doc. Every multimodal op (attach_binary, media_summary,
+    decode_media, resize_media, sample_frames) still runs."""
     media = M.attach_binary(_tbl(spark, sf, "documents"))
     per = media.select(
         "doc_id", F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
-    return per.crossJoin(F.broadcast(M.media_summary(media)))
-
-
-def _q_m_decode(spark, sf):
-    """m3: decode stub dims + resize stub dims + frame-sample fan-out in one
-    witnessed result (former m3+m5 merged in r3; former m4 merged in r4 to
-    free a slot for d8). Rows are (doc, frame)-grained: sample_frames is the
-    one-to-many mapInPandas stage, decode/resize dims join on per doc. Every
-    multimodal op (decode_media, resize_media, sample_frames) still runs."""
-    media = M.attach_binary(_tbl(spark, sf, "documents"))
     dec = M.decode_media(media, decoder=M.fake_decoder).select(
         "doc_id", "width", "height", "n_frames"
     )
@@ -705,7 +723,10 @@ def _q_m_decode(spark, sf):
     frames = M.sample_frames(media, n_frames=4).select(
         "doc_id", "frame_idx", F.col("n_bytes").alias("frame_bytes")
     )
-    return frames.join(dec, "doc_id").join(rez, "doc_id")
+    return (
+        frames.join(dec, "doc_id").join(rez, "doc_id").join(per, "doc_id")
+        .crossJoin(F.broadcast(M.media_summary(media)))
+    )
 
 
 def _q_d_paragraph_dedup(spark, sf):
@@ -757,7 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to make room for w5 (sessionization), and d2 merged into d1 (r4 —
     the group rows now witness exact_dedup's survivors directly) to make
     room for d7 (transitive dedup clustering via CC over the d3 pair
-    graph)."""
+    graph), and m1 merged into m3 (r4 — one multimodal row carries the
+    whole surface) to make room for g15 (PPR sweep-cut curve)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -799,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_sssp": _q_g_sssp,
         "g13_scc": _q_g_scc,
         "g14_topo_layers": _q_g_topo,
+        "g15_ppr_sweep": _q_g_ppr_sweep,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -816,8 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_ann_topk": _q_s_ann_topk,
         "s2_srp_topk": _q_s_srp_topk,
         "s3_ivf_topk": _q_s_ivf_topk,
-        # multimodal
-        "m1_media_meta": _q_m_meta,
+        # multimodal (m1+m2 merged into m3 in r4 — slot freed for g15)
         "m3_decode_stub": _q_m_decode,
         # streaming (batch-mode drive of the windowed rollup)
         "n1_streaming_rollup": _q_n_streaming_rollup,
@@ -1613,6 +1635,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT vid, CAST(max(layer) AS INT) AS layer
             FROM paths GROUP BY 1
         """,
+        # g15: the sweep-cut curve (engine/algos/localcluster.ppr_sweep
+        # with explicit integer-valued scores = in-degree, so the
+        # score/deg ordering ratio and the phi division are bit-identical
+        # doubles in both engines). und = the undirected simple view
+        # (self-loops dropped, parallel edges collapsed — graph.symmetrize);
+        # an edge is cut by prefix k iff exactly one endpoint ranks <= k,
+        # so cut(k) = running(#min-rank<=k) - running(#max-rank<=k).
+        "g15_ppr_sweep": f"""
+            WITH {graph_ctes},
+            und AS (
+                SELECT u, v FROM (
+                    SELECT src AS u, dst AS v FROM ev
+                    UNION
+                    SELECT dst, src FROM ev
+                ) WHERE u <> v
+            ),
+            deg AS (SELECT u AS vid, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY u),
+            indeg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS score
+                      FROM ev GROUP BY dst),
+            ranked AS (
+                SELECT s.vid, s.score, d.deg,
+                       CAST(row_number() OVER (
+                           ORDER BY s.score / d.deg DESC, s.score DESC,
+                                    s.vid ASC) AS INT) AS sweep_rank
+                FROM indeg s JOIN deg d USING (vid)
+            ),
+            swept AS (SELECT * FROM ranked WHERE sweep_rank <= 200),
+            canon AS (SELECT u, v FROM und WHERE u < v),
+            binned AS (
+                SELECT least(coalesce(ra.sweep_rank, 2147483647),
+                             coalesce(rb.sweep_rank, 2147483647)) AS rmin,
+                       greatest(coalesce(ra.sweep_rank, 2147483647),
+                                coalesce(rb.sweep_rank, 2147483647)) AS rmax
+                FROM canon c
+                LEFT JOIN swept ra ON ra.vid = c.u
+                LEFT JOIN swept rb ON rb.vid = c.v
+            ),
+            cmin AS (SELECT rmin AS r, CAST(count(*) AS BIGINT) AS nmin
+                     FROM binned WHERE rmin <= (SELECT max(sweep_rank)
+                                                FROM swept)
+                     GROUP BY rmin),
+            cmax AS (SELECT rmax AS r, CAST(count(*) AS BIGINT) AS nmax
+                     FROM binned WHERE rmax <= (SELECT max(sweep_rank)
+                                                FROM swept)
+                     GROUP BY rmax),
+            tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS tv FROM canon),
+            curve AS (
+                SELECT sw.sweep_rank, sw.vid, sw.deg,
+                       CAST(sum(sw.deg) OVER w AS BIGINT) AS vol,
+                       CAST(sum(coalesce(cm.nmin, 0)) OVER w
+                            - sum(coalesce(cx.nmax, 0)) OVER w
+                            AS BIGINT) AS cut
+                FROM swept sw
+                LEFT JOIN cmin cm ON cm.r = sw.sweep_rank
+                LEFT JOIN cmax cx ON cx.r = sw.sweep_rank
+                WINDOW w AS (ORDER BY sw.sweep_rank
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT c.sweep_rank, v.name, c.deg, c.vol, c.cut,
+                   CASE WHEN least(c.vol, t.tv - c.vol) > 0
+                        THEN CAST(c.cut AS DOUBLE)
+                             / least(c.vol, t.tv - c.vol)
+                   END AS phi
+            FROM curve c JOIN vtx v USING (vid) CROSS JOIN tot t
+        """,
         # g5: min-label components via transitive closure (fine at sf0.01
         # where V*V is bounded); label = vid of the lexicographically
         # smallest member name because vid order IS name order.
@@ -1871,25 +1959,19 @@ def oracle_sql() -> dict[str, str]:
             )
             {rerank_select}
         """,
-        # m1: per-item metadata (payload checksum == sha256 of the utf-8
-        # text) + corpus summary columns cross-joined (former m1 + m2)
-        "m1_media_meta": (
-            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
-            "sha256(text) AS checksum, s.kind, s.n_items, s.total_bytes, "
-            "s.max_bytes FROM documents CROSS JOIN ("
-            "SELECT 'blob' AS kind, count(*) AS n_items, "
-            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
-            "max(octet_length(encode(text))) AS max_bytes FROM documents) s"
-        ),
-        # m3: frame-sample fan-out rows (k = min(4, n); len_i = n//k plus
-        # one for the first n%k frames — multimodal.sample_frames) joined
-        # with fake_decoder dims (pure function of payload byte length) and
-        # resize-stub dims (former m3 + m5 merged r3; former m4 merged r4).
+        # m3: the whole multimodal surface (m1+m2 merged here in r4 — slot
+        # freed for g15): frame-sample fan-out rows (k = min(4, n); len_i =
+        # n//k plus one for the first n%k frames — multimodal.sample_frames)
+        # joined with fake_decoder dims (pure function of payload byte
+        # length), resize-stub dims (former m3 + m5 merged r3; former m4
+        # merged r4), per-item metadata (payload checksum == sha256 of the
+        # utf-8 text) and corpus summary columns cross-joined.
         "m3_decode_stub": """
             WITH m AS (
-                SELECT doc_id, octet_length(encode(text)) AS n
+                SELECT doc_id, octet_length(encode(text)) AS n,
+                       sha256(text) AS checksum
                 FROM documents WHERE octet_length(encode(text)) > 0
-            ), f AS (SELECT doc_id, n, least(4, n) AS k FROM m)
+            ), f AS (SELECT doc_id, n, checksum, least(4, n) AS k FROM m)
             SELECT doc_id, CAST(i AS INT) AS frame_idx,
                    CAST(n // k + CASE WHEN i < n % k THEN 1 ELSE 0 END
                         AS BIGINT) AS frame_bytes,
@@ -1897,8 +1979,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n % 480) + 1 AS INT) AS height,
                    CAST(1 AS INT) AS n_frames,
                    CAST(64 AS INT) AS r_width, CAST(48 AS INT) AS r_height,
-                   CAST(3072 AS BIGINT) AS r_bytes
+                   CAST(3072 AS BIGINT) AS r_bytes,
+                   CAST(n AS BIGINT) AS n_bytes, checksum,
+                   s.kind, s.n_items, s.total_bytes, s.max_bytes
             FROM f, UNNEST(generate_series(0, k - 1)) AS u(i)
+            CROSS JOIN (
+                SELECT 'blob' AS kind, count(*) AS n_items,
+                       CAST(sum(octet_length(encode(text))) AS BIGINT)
+                           AS total_bytes,
+                       max(octet_length(encode(text))) AS max_bytes
+                FROM documents) s
         """,
         # n1: tumbling-window rollup — DuckDB time_bucket aligns to
         # 2000-01-01, Spark's window() to 1970-01-01; both origins are
