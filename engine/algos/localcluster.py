@@ -74,6 +74,31 @@ class SweepResult:
     truncated: bool
 
 
+def _bin_edges_by_rank(canon: DataFrame, rank_map: DataFrame, k_max: int) -> DataFrame:
+    """(r_min, r_max) per canonical edge — the one O(E) pass that prices
+    every sweep prefix. The rank map (<= top_k rows) is BROADCAST into
+    both endpoint joins, so this pass adds no shuffle of the edge table
+    (plan-asserted in test_plans_ops.py); unranked endpoints get rank
+    K+1 so the min/max binning is total."""
+    inf = F.lit(k_max + 1)
+    return (
+        canon.join(
+            F.broadcast(rank_map.withColumnRenamed("vid", "src")
+                        .withColumnRenamed("sweep_rank", "r_src")),
+            "src", "left")
+        .join(
+            F.broadcast(rank_map.withColumnRenamed("vid", "dst")
+                        .withColumnRenamed("sweep_rank", "r_dst")),
+            "dst", "left")
+        .select(
+            F.least(F.coalesce("r_src", inf), F.coalesce("r_dst", inf))
+            .alias("r_min"),
+            F.greatest(F.coalesce("r_src", inf), F.coalesce("r_dst", inf))
+            .alias("r_max"),
+        )
+    )
+
+
 def ppr_sweep(
     spark: SparkSession,
     edges: DataFrame,
@@ -139,28 +164,9 @@ def ppr_sweep(
             "from the graph (or isolated); check the seed vids"
         )
 
-    # One O(E) pass over canonical (src < dst) undirected edges, rank map
-    # broadcast twice (<= top_k rows). Unranked endpoints get rank K+1 so
-    # min/max-rank binning is total.
-    inf = F.lit(k_max + 1)
     rank_map = ranked.select("vid", "sweep_rank")
     canon = und.filter(F.col("src") < F.col("dst")).select("src", "dst")
-    binned = (
-        canon.join(
-            F.broadcast(rank_map.withColumnRenamed("vid", "src")
-                        .withColumnRenamed("sweep_rank", "r_src")),
-            "src", "left")
-        .join(
-            F.broadcast(rank_map.withColumnRenamed("vid", "dst")
-                        .withColumnRenamed("sweep_rank", "r_dst")),
-            "dst", "left")
-        .select(
-            F.least(F.coalesce("r_src", inf), F.coalesce("r_dst", inf))
-            .alias("r_min"),
-            F.greatest(F.coalesce("r_src", inf), F.coalesce("r_dst", inf))
-            .alias("r_max"),
-        )
-    )
+    binned = _bin_edges_by_rank(canon, rank_map, k_max)
     cnt_min = (
         binned.filter(F.col("r_min") <= k_max)
         .groupBy(F.col("r_min").alias("sweep_rank"))

@@ -60,6 +60,44 @@ def test_filter_domains_broadcast_only(docs, spark):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
+def test_sweep_edge_binning_broadcast_only(spark):
+    # localcluster._bin_edges_by_rank: the O(E) prefix-pricing pass must
+    # broadcast the (<= top_k)-row rank map, never shuffle the edge table
+    from engine.algos.localcluster import _bin_edges_by_rank
+
+    canon = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    ).cache()
+    canon.count()
+    rank_map = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "vid long, sweep_rank int"
+    )
+    binned = _bin_edges_by_rank(canon, rank_map, 10)
+    plan = _plan(binned)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_classifier_scoring_is_map_only(spark):
+    # classifier.score_docs: one codegen'd map pass over the features —
+    # the 100-TB filter must not shuffle anything
+    from engine.classifier import score_docs, train_doc_classifier, doc_features
+
+    docs = spark.createDataFrame(
+        [(i, ("clean alpha prose words " * (2 + i % 3)) if i % 2 == 0
+          else "123 45%% 6789 )(*&")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    feats = doc_features(docs).localCheckpoint(eager=True)
+    labels = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else 0.0) for i in range(40)],
+        "doc_id long, label double",
+    )
+    clf = train_doc_classifier(feats, labels, max_iter=8)
+    assert _exchanges(score_docs(clf, feats)) == 0
+
+
 def test_diff_snapshots_one_exchange_per_side(spark):
     old = spark.range(100).select(
         F.col("id").alias("k"), F.col("id").cast("string").alias("v")
