@@ -158,3 +158,72 @@ def read_degree_store(spark: SparkSession, out_dir: str) -> DataFrame:
         raw.groupBy("vertex")
         .agg(F.max_by("degree", "batch_id").alias("degree"))
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming sibling of
+    the batch d1 operator (engine/dedup.py).
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it, so state is O(keys-per-watermark-window)
+    instead of O(all keys ever) — the property that makes exact dedup
+    runnable on an unbounded feed (a plain ``dropDuplicates`` on a stream
+    grows state forever; public Spark semantics, Structured Streaming
+    guide). Late duplicates beyond the watermark are the documented
+    trade — they pass through, exactly like every watermarked operator.
+
+    Works identically on a batch DataFrame (watermark is a no-op there and
+    the call degrades to dropDuplicates) — same batch-mirror testing seam
+    as windowed_edge_counts."""
+    if not id_cols:
+        raise ValueError("dedup_stream: id_cols must be non-empty")
+    wm = events.withWatermark(time_col, watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(id_cols)
+    return wm.dropDuplicates(id_cols)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    watermark: str = "10 minutes",
+    lag: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval — the streaming
+    sibling of the batch range join (engine/relational.py j7).
+
+    Matches right rows within ``[left_ts - lag, left_ts]`` on the same
+    key. Both sides carry watermarks and the join condition bounds both
+    event times, so Spark can expire buffered state once the watermark
+    passes the interval — the requirement for a stream-stream inner join
+    to run with finite state (public Spark semantics). Column names are
+    suffixed _l/_r to keep the output unambiguous."""
+    l_ = left.withWatermark(left_time, watermark).select(
+        F.col(key).alias("k"),
+        F.col(left_time).alias("ts_l"),
+        *[F.col(c).alias(f"{c}_l") for c in left.columns
+          if c not in (key, left_time)],
+    )
+    r_ = right.withWatermark(right_time, watermark).select(
+        F.col(key).alias("k"),
+        F.col(right_time).alias("ts_r"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns
+          if c not in (key, right_time)],
+    )
+    cond = (
+        (F.col("ts_r") <= F.col("ts_l"))
+        & (F.col("ts_r") >= F.col("ts_l") - F.expr(f"INTERVAL {lag}"))
+    )
+    return l_.join(r_, on=[l_["k"] == r_["k"], cond], how="inner").select(
+        l_["k"].alias(key), "ts_l", "ts_r",
+        *[c for c in l_.columns if c.endswith("_l") and c != "ts_l"],
+        *[c for c in r_.columns if c.endswith("_r") and c != "ts_r"],
+    )

@@ -87,3 +87,111 @@ def test_stateful_degree_tracker_accumulates(spark, tmp_path):
         for r in a.unionByName(b).groupBy("repo").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: a duplicate id
+    arriving in a later batch (within the watermark) is dropped; the
+    batch-mode mirror degrades to dropDuplicates."""
+    from engine.streaming import dedup_stream
+
+    feed = str(tmp_path / "dfeed")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "event_id long, payload string, t double"
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10000.0), (2, "b", 10060.0), (3, "c", 10120.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "b-dup", 10130.0), (4, "d", 10180.0), (4, "d-dup", 10181.0)], schema
+    )
+    # timestamps sit well above the watermark floor: an event at the
+    # initial watermark boundary (t=0) is dropped as late, not deduped
+    batch1.coalesce(1).write.mode("append").parquet(feed)
+    batch2.coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .select("event_id", "payload", F.timestamp_seconds("t").alias("ts"))
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]
+
+    # batch mirror: same call on a plain DataFrame
+    allb = batch1.unionByName(batch2).select(
+        "event_id", "payload", F.timestamp_seconds("t").alias("ts")
+    )
+    from engine.streaming import dedup_stream as ds
+    assert sorted(
+        r.event_id for r in ds(allb, ["event_id"]).collect()
+    ) == [1, 2, 3, 4]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        ds(allb, [])
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (availableNow over two file sources)
+    produces exactly the batch interval join of the same data."""
+    from engine.streaming import stream_interval_join
+
+    lfeed = str(tmp_path / "lfeed")
+    rfeed = str(tmp_path / "rfeed")
+    out = str(tmp_path / "jout")
+    ckpt = str(tmp_path / "jckpt")
+    lschema = "k string, lval long, t double"
+    rschema = "k string, rval long, t double"
+    lrows = [("a", 1, 300.0), ("a", 2, 900.0), ("b", 3, 600.0)]
+    rrows = [("a", 10, 100.0), ("a", 11, 290.0), ("a", 12, 650.0),
+             ("b", 13, 580.0), ("b", 14, 601.0)]
+    spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(lfeed)
+    spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(rfeed)
+
+    def _ts(df, schema):
+        cols = [c.split()[0] for c in schema.split(",")]
+        return df.select(
+            *[c for c in cols if c != "t"],
+            F.timestamp_seconds("t").alias("ts"),
+        )
+
+    ls = _ts(spark.readStream.schema(lschema).parquet(lfeed), lschema)
+    rs = _ts(spark.readStream.schema(rschema).parquet(rfeed), rschema)
+    joined = stream_interval_join(ls, rs, key="k", lag="5 minutes")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.k, r.lval_l, r.rval_r)
+        for r in spark.read.parquet(out).collect()
+    )
+    # hand-computed: right within [left_t - 300s, left_t] on same key
+    want = sorted([
+        ("a", 1, 10),          # 100 in [0, 300]
+        ("a", 1, 11),          # 290 in [0, 300]
+        ("a", 2, 12),          # 650 in [600, 900]
+        ("b", 3, 13),          # 580 in [300, 600]
+    ])
+    assert got == want
+
+    # batch mirror of the same call
+    lb = _ts(spark.read.parquet(lfeed), lschema)
+    rb = _ts(spark.read.parquet(rfeed), rschema)
+    got_b = sorted(
+        (r.k, r.lval_l, r.rval_r)
+        for r in stream_interval_join(lb, rb, key="k", lag="5 minutes").collect()
+    )
+    assert got_b == want
