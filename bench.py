@@ -126,6 +126,27 @@ def main() -> None:
         f"{res_d.edges_gathered} vs dense {dense_gathered} "
         f"({extra['pagerank_delta']['gather_reduction_x']}x reduction)")
 
+    # ---- 2b'. sweep-cut pricing over the converged PageRank order
+    # (engine/algos/localcluster.py): measures the NEW machinery — the
+    # symmetrize + degree pass, the support-wide rank window, and the two
+    # O(E) broadcast rank-map passes that price every prefix — with the
+    # score vector free from the headline run. (A seeded push-PPR sweep is
+    # the production call; on THIS graph hub langs make any seed's support
+    # corpus-wide — measured 146k/146k vertices touched at sf0.01 — so the
+    # seeded variant just re-measures pagerank_delta.)
+    from engine.algos.localcluster import ppr_sweep
+
+    t0 = time.monotonic()
+    sw = ppr_sweep(spark, e, seeds=[0], scores=res.ranks, top_k=2000)
+    q["ppr_sweep_pagerank_order"] = time.monotonic() - t0
+    extra["ppr_sweep"] = {
+        "support": sw.support, "best_rank": sw.best_rank,
+        "best_phi": round(sw.best_conductance, 6),
+        "truncated": sw.truncated,
+    }
+    log(f"ppr_sweep: support {sw.support}, best k={sw.best_rank} "
+        f"phi={sw.best_conductance:.4f} in {q['ppr_sweep_pagerank_order']:.1f}s")
+
     # ---- 2c. bucketed-edge variant (VERDICT r2 item 7): save the edges as
     # a bucketBy(src) table ONCE (the one-time cost a production deployment
     # pays at ingest), then run the loop with edges_pre_partitioned=True —
@@ -353,8 +374,41 @@ def main() -> None:
         "n_final": round(nb.history[-1], 1),
     }
     nb.balls.unpersist()
+
+    # ALT landmark distance oracle (engine/algos/landmarks.py) on the
+    # repo<->repo co-occurrence subgraph — the graph where point-to-point
+    # distances mean something (the structural graph is a 2-layer DAG
+    # whose landmark bounds are vacuously null). Build = two
+    # multi-landmark Bellman-Ford fixpoints (all 4 landmarks relax in one
+    # composite-key loop); the 10k-pair batch is then answered with joins
+    # only — no per-query traversal.
+    from engine.algos.landmarks import build_distance_oracle, estimate_distance
+    from engine.graph import symmetrize
+
+    co = symmetrize(e2.filter(F.col("rel") == "cooccur")).localCheckpoint(
+        eager=True
+    )
+    t0 = time.monotonic()
+    orc = build_distance_oracle(spark, co, n_landmarks=4, weighted=False)
+    q["alt_oracle_build_4lm"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    ids = co.select(F.col("src").alias("vid")).distinct().orderBy("vid")
+    qpairs = (
+        ids.select(F.col("vid").alias("src")).limit(100)
+        .crossJoin(ids.select(F.col("vid").alias("dst")).limit(100))
+    )
+    n_bounded = (
+        estimate_distance(orc, qpairs).filter("upper IS NOT NULL").count()
+    )
+    q["alt_query_10k_pairs"] = time.monotonic() - t0
+    extra["alt"] = {"iterations": orc.iterations, "bounded_pairs": n_bounded}
+    orc.fwd.unpersist()
+    orc.bwd.unpersist()
+    co.unpersist()
     e2.unpersist()
     log(f"hyperball: {nb.iterations} rounds in {q['neighborhood_hyperball']:.1f}s")
+    log(f"alt: build {q['alt_oracle_build_4lm']:.1f}s, 10k-pair bounds in "
+        f"{q['alt_query_10k_pairs']:.1f}s ({n_bounded} upper-bounded)")
 
     # ---- 5. driver-table slice at sf_dir
     def timed(name, fn):
