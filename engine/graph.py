@@ -318,3 +318,58 @@ def degree_assortativity(edges: DataFrame) -> float:
     if denom == 0:
         return float("nan")
     return float(cov / denom)
+
+
+def reciprocity(edges: DataFrame) -> float:
+    """Fraction of directed edges whose reverse also exists (Newman et al.
+    2002 convention — == ``networkx.reciprocity``): the basic directed-
+    graph shape statistic (a link graph of mutual endorsements looks very
+    different from a strict hierarchy at the same density). One distinct
+    pass + one self-join on the reversed key + two scalar counts.
+    Self-loops are excluded (networkx counts a self-loop as reciprocal;
+    the derived link graphs here never contain one — documented
+    divergence, asserted in tests on loop-free graphs). Returns nan for
+    an edgeless graph, like networkx raising on empty."""
+    simple = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = simple.count()
+    if n == 0:
+        simple.unpersist()
+        return float("nan")
+    mutual = simple.join(
+        simple.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "semi",
+    ).count()
+    simple.unpersist()
+    return float(mutual) / float(n)
+
+
+def graph_density(edges: DataFrame, directed: bool = True) -> float:
+    """|E| / (|V|·(|V|-1)) (halved denominator when undirected) over the
+    simple loop-free view — == ``networkx.density``. Two scalar jobs."""
+    simple = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    )
+    if not directed:
+        simple = simple.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    simple = simple.distinct().localCheckpoint(eager=True)
+    m = simple.count()
+    nv = (
+        simple.select(F.col("src").alias("vid"))
+        .unionByName(simple.select(F.col("dst").alias("vid")))
+        .distinct()
+        .count()
+    )
+    simple.unpersist()
+    if nv <= 1:
+        return 0.0
+    pairs = nv * (nv - 1) if directed else nv * (nv - 1) / 2
+    return float(m) / pairs

@@ -173,3 +173,34 @@ def test_degree_assortativity_matches_networkx(spark):
     got_star = degree_assortativity(edges_df(spark, star))
     want_star = nx.degree_assortativity_coefficient(nx.Graph(star))
     assert got_star == pytest.approx(want_star, abs=1e-9)
+
+
+def test_reciprocity_matches_networkx(spark):
+    import networkx as nx
+    import pytest
+    from engine.graph import reciprocity
+
+    g = nx.gnm_random_graph(30, 120, seed=9, directed=True)
+    got = reciprocity(edges_df(spark, list(g.edges)))
+    assert got == pytest.approx(nx.reciprocity(g), abs=1e-12)
+    # hand graphs: pure hierarchy -> 0, full 2-cycle -> 1
+    assert reciprocity(edges_df(spark, [(0, 1), (1, 2)])) == 0.0
+    assert reciprocity(edges_df(spark, [(0, 1), (1, 0)])) == 1.0
+    import math
+    assert math.isnan(reciprocity(edges_df(spark, [(3, 3)])))
+
+
+def test_density_matches_networkx(spark):
+    import networkx as nx
+    import pytest
+    from engine.graph import graph_density
+
+    gd = nx.gnm_random_graph(25, 90, seed=4, directed=True)
+    assert graph_density(edges_df(spark, list(gd.edges))) == pytest.approx(
+        nx.density(gd), abs=1e-12
+    )
+    gu = nx.gnm_random_graph(25, 60, seed=5)
+    pairs = list(gu.edges) + [(b, a) for a, b in gu.edges]
+    assert graph_density(
+        edges_df(spark, pairs), directed=False
+    ) == pytest.approx(nx.density(gu), abs=1e-12)
