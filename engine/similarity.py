@@ -230,16 +230,24 @@ def fit_ivf_centroids(
             withReplacement=False, fraction=sample_cap / n_total, seed=seed
         )
     x = np.array(frac_rows.toPandas()["v"].tolist(), dtype=np.float64)
-    if x.shape[0] < n_centroids:
+    return lloyd_fit(x, n_centroids, iters, seed)
+
+
+def lloyd_fit(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
+    """Driver-side seeded Lloyd on a sample matrix — the shared quantizer
+    trainer (IVF coarse cells here; per-subspace PQ codebooks in
+    engine/pq.py). Farthest-point init, fixed iterations, one-at-a-time
+    empty-cell repair (ADVICE r3), lowest-index tie-breaks throughout."""
+    if x.shape[0] < k:
         raise ValueError(
-            f"need >= {n_centroids} sample vectors to fit, got {x.shape[0]}"
+            f"need >= {k} sample vectors to fit, got {x.shape[0]}"
         )
     rng = np.random.RandomState(seed)
     # farthest-point init (deterministic given the seed and sample order)
-    centers = np.empty((n_centroids, dim), dtype=np.float64)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
     centers[0] = x[rng.randint(x.shape[0])]
     d2 = ((x - centers[0]) ** 2).sum(axis=1)
-    for j in range(1, n_centroids):
+    for j in range(1, k):
         centers[j] = x[int(np.argmax(d2))]
         d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
     x2 = (x ** 2).sum(axis=1, keepdims=True)
@@ -249,7 +257,7 @@ def fit_ivf_centroids(
         dists = x2 - 2.0 * x @ centers.T + (centers ** 2).sum(axis=1)
         asn = np.argmin(dists, axis=1)
         empty = []
-        for j in range(n_centroids):
+        for j in range(k):
             members = x[asn == j]
             if len(members):
                 centers[j] = members.mean(axis=0)
