@@ -204,6 +204,9 @@ def ppr_sweep(
         )
         .localCheckpoint(eager=True)
     )
+    # the rank map's job is done once the sweep table is materialized;
+    # release its checkpoint blocks (the returned `sweep` is caller-owned)
+    ranked.unpersist()
 
     best = (
         sweep.filter(F.col("conductance").isNotNull())

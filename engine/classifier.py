@@ -156,7 +156,11 @@ def train_doc_classifier(
         maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net,
         featuresCol="features", labelCol="label",
     )
-    return DocClassifier(model=lr.fit(data), feature_cols=tuple(feature_cols))
+    try:
+        model = lr.fit(data)
+    finally:
+        data.unpersist()  # L-BFGS is done with the checkpointed matrix
+    return DocClassifier(model=model, feature_cols=tuple(feature_cols))
 
 
 def score_docs(clf: DocClassifier, features: DataFrame) -> DataFrame:
