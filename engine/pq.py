@@ -120,34 +120,30 @@ def pq_decode(codes: list[int], codebook: PQCodebook) -> np.ndarray:
     )
 
 
-def pq_topk(
-    codes: DataFrame,
-    codebook: PQCodebook,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """(query_id, rank, neighbor_id, adc) — smallest asymmetric distances.
-
-    ``codes`` is pq_encode output; ``queries`` carries raw vectors
-    (small-Q contract: collected to build the LUTs). The query itself is
-    excluded when ids collide, matching cosine_topk."""
-    sub = codebook.dim // codebook.m
-    qrows = queries.select(
+def _collect_queries(queries, codebook, id_col, emb_col, op):
+    rows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).cast("array<double>").alias("v"),
     ).collect()
-    if not qrows:
-        raise ValueError("pq_topk: empty query set")
-    spark = codes.sparkSession
-    lut_rows = []
-    for r in qrows:
+    if not rows:
+        raise ValueError(f"{op}: empty query set")
+    out = []
+    for r in rows:
         q = np.asarray(r.v, dtype=np.float64)
         if q.shape[0] != codebook.dim:
             raise ValueError(
                 f"query {r.query_id}: dim {q.shape[0]} != {codebook.dim}"
             )
+        out.append((r.query_id, q))
+    return out
+
+
+def _query_luts(spark, qvecs, codebook) -> DataFrame:
+    """(query_id, lut array<array<double>>) — per-query sub-distance
+    tables, broadcast into the ADC scan."""
+    sub = codebook.dim // codebook.m
+    lut_rows = []
+    for qid, q in qvecs:
         lut = [
             [
                 float(((q[j * sub:(j + 1) * sub]
@@ -156,26 +152,109 @@ def pq_topk(
             ]
             for j in range(codebook.m)
         ]
-        lut_rows.append((r.query_id, lut))
-    luts = spark.createDataFrame(
-        lut_rows, f"query_id long, lut array<array<double>>"
+        lut_rows.append((qid, lut))
+    return spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
     )
-    adc = F.aggregate(
+
+
+def _adc(codebook) -> F.Column:
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(codebook.m - 1)),
         F.lit(0.0),
         lambda acc, j: acc + F.element_at(
             F.element_at("lut", j + 1), F.element_at("codes", j + 1) + 1
         ),
     )
+
+
+def _topk_window(scored, k) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
     return (
-        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .crossJoin(F.broadcast(luts))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc")
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, adc) — smallest asymmetric distances
+    over the WHOLE code table (flat ADC scan). ``codes`` is pq_encode
+    output; ``queries`` carries raw vectors (small-Q contract: collected
+    to build the LUTs). The query itself is excluded when ids collide,
+    matching cosine_topk."""
+    qvecs = _collect_queries(queries, codebook, id_col, emb_col, "pq_topk")
+    luts = _query_luts(codes.sparkSession, qvecs, codebook)
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(luts))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc(codebook).alias("adc"))
+    )
+    return _topk_window(scored, k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: PQCodebook,
+    coarse_centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    codes: DataFrame | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """FAISS-style IVFADC: coarse cells bound the CANDIDATE volume, PQ
+    codes bound the BYTES — the composition that searches 10^9 vectors.
+
+    Each query routes (driver-side numpy, same small-Q contract) to its
+    ``nprobe`` nearest coarse cells; the ADC scan then touches only the
+    code rows of the probed cells (one equi-join on cid against the
+    cell-keyed index — at scale, the cid is the bucketing/partition key,
+    so the probe is a pruned scan). With nprobe == n_centroids the
+    result is EXACTLY pq_topk's flat scan (tested).
+
+    ``codes``/``cells``: precomputed pq_encode / ivf_assignments output
+    to reuse across query batches (the production pattern — the index is
+    built once); both default to computing here."""
+    from engine.similarity import ivf_assignments
+
+    if codes is None:
+        codes = pq_encode(emb, codebook, id_col, emb_col)
+    if cells is None:
+        cells = ivf_assignments(
+            emb, dim=codebook.dim, id_col=id_col, emb_col=emb_col,
+            centroids=coarse_centroids,
+        )
+    qvecs = _collect_queries(queries, codebook, id_col, emb_col, "ivfpq_topk")
+    nprobe = min(nprobe, len(coarse_centroids))
+    probe_rows = []
+    for qid, q in qvecs:
+        d = ((coarse_centroids - q) ** 2).sum(axis=1)
+        # lowest-cid tie-break, same discipline as ivf_assignments
+        order = np.lexsort((np.arange(len(d)), d))
+        probe_rows += [(qid, int(c)) for c in order[:nprobe]]
+    spark = codes.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
+    luts = _query_luts(spark, qvecs, codebook)
+    index = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        cells.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    scored = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "neighbor_id", _adc(codebook).alias("adc"))
+    )
+    return _topk_window(scored, k)

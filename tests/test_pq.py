@@ -131,3 +131,49 @@ def test_contracts(spark, fitted):
     )
     with pytest.raises(ValueError, match="dim"):
         pq_topk(codes, cb, bad_q)
+
+
+def test_ivfpq_equals_flat_scan_at_full_probe(spark, fitted):
+    from engine.pq import ivfpq_topk
+    from engine.similarity import fit_ivf_centroids
+
+    x, emb, cb, codes = fitted
+    coarse = fit_ivf_centroids(emb, dim=16, n_centroids=8, iters=8, seed=2)
+    queries = emb.filter("vec_id < 8")
+    flat = pq_topk(codes, cb, queries, k=10)
+    full = ivfpq_topk(
+        emb, queries, cb, coarse, k=10, nprobe=8, codes=codes
+    )
+    a = sorted((r.query_id, r.rank, r.neighbor_id, r.adc) for r in flat.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id, r.adc) for r in full.collect())
+    assert a == b
+
+
+def test_ivfpq_probe_restricts_candidates(spark, fitted):
+    from engine.pq import ivfpq_topk
+    from engine.similarity import fit_ivf_centroids, ivf_assignments
+
+    x, emb, cb, codes = fitted
+    coarse = fit_ivf_centroids(emb, dim=16, n_centroids=8, iters=8, seed=2)
+    cells = ivf_assignments(emb, dim=16, centroids=coarse)
+    queries = emb.filter("vec_id < 10")
+    out = ivfpq_topk(
+        emb, queries, cb, coarse, k=50, nprobe=2, codes=codes, cells=cells
+    )
+    cell_of = {r.id: r.cid for r in cells.collect()}
+    import numpy as np
+    allowed = {}
+    for r in queries.collect():
+        q = np.asarray([float(v) for v in r.embedding], dtype=np.float64)
+        d = ((coarse - q) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d)), d))
+        allowed[r.vec_id] = set(int(c) for c in order[:2])
+    rows = out.collect()
+    assert rows, "no candidates survived the probe"
+    for r in rows:
+        assert cell_of[r.neighbor_id] in allowed[r.query_id], r
+    # blob structure still resolved within the probed cells
+    blob = {i: i % 8 for i in range(len(x))}
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    same = sum(blob[q] == blob[n] for q, n in top1.items())
+    assert same >= 0.8 * len(top1), (same, len(top1))
