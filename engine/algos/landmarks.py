@@ -48,7 +48,9 @@ class DistanceOracle:
     ``lid`` (lid = the landmark's vid). Both converged Bellman–Ford
     fixpoints; ``converged`` False means max_iter truncated the loop and
     the tables are NOT valid bounds — callers must treat that as an
-    error (estimate_distance raises)."""
+    error (estimate_distance raises). Both tables are eager
+    localCheckpoints and CALLER-OWNED: unpersist them when the oracle is
+    retired (bench.py does)."""
 
     fwd: DataFrame
     bwd: DataFrame
