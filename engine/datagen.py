@@ -266,3 +266,65 @@ def documents_as_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang"),
         F.col("text").alias("content"),
     )
+
+
+def rmat_edges(
+    spark: SparkSession,
+    scale: int = 16,
+    n_edges: int = 1_000_000,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic R-MAT edge generator (Chakrabarti, Zhan, Faloutsos
+    2004, "R-MAT: a recursive model for graph mining" — public knowledge;
+    the Graph500 generator) — the skew-stress input the synthetic corpus
+    can't provide on demand: power-law in/out degrees whose heaviness is
+    a single knob (raise ``a``).
+
+    Same discipline as ``source_files``: pure function of (seed, scale,
+    n_edges) — edge i's 2*scale quadrant bits all come from seeded
+    xxhash64 draws, so any parallelism produces byte-identical edges and
+    a re-run is free. One ``range`` scan + one codegen'd aggregate over
+    the recursion levels; no shuffle, no UDF, no driver state.
+
+    Quadrant semantics per level: u < a -> (0,0), < a+b -> (0,1),
+    < a+b+c -> (1,0), else (1,1); bit l of (src, dst) is the level-l
+    choice. a=b=c=0.25 degenerates to the uniform random digraph.
+    Self-loops and parallel edges are kept (R-MAT's own behavior) —
+    symmetrize/dedup downstream exactly like any raw edge feed."""
+    if scale < 1 or scale > 31:
+        raise ValueError(f"scale must be in [1, 31], got {scale}")
+    if min(a, b, c) < 0 or a + b + c >= 1.0:
+        raise ValueError(
+            f"need a,b,c >= 0 with a+b+c < 1 (d = 1-a-b-c), got {a},{b},{c}"
+        )
+    rows = spark.range(n_edges).select(F.col("id").alias("i"))
+
+    def step(acc, lvl):
+        u = (
+            F.pmod(F.xxhash64(F.col("i"), lvl, F.lit(seed)), F.lit(_MOD))
+            / F.lit(float(_MOD))
+        )
+        sbit = (u >= F.lit(a + b)).cast("long")
+        dbit = (
+            ((u >= F.lit(a)) & (u < F.lit(a + b)))
+            | (u >= F.lit(a + b + c))
+        ).cast("long")
+        # shiftleft needs a literal shift count; 2^lvl as a double power
+        # is exact for lvl <= 31 and casts back losslessly
+        p2 = F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+        return F.struct(
+            (acc["s"] + sbit * p2).alias("s"),
+            (acc["d"] + dbit * p2).alias("d"),
+        )
+
+    acc0 = F.struct(F.lit(0).cast("long").alias("s"),
+                    F.lit(0).cast("long").alias("d"))
+    sd = F.aggregate(F.sequence(F.lit(0), F.lit(scale - 1)), acc0, step)
+    return rows.select(
+        sd["s"].alias("src"),
+        sd["d"].alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )

@@ -62,3 +62,62 @@ def test_determinism_across_partitioning(spark, tiny_source):
     a = tiny_source.orderBy("repo", "path").collect()
     b = again.orderBy("repo", "path").collect()
     assert a == b
+
+
+def test_rmat_determinism_and_ranges(spark):
+    from engine.datagen import rmat_edges
+
+    e1 = rmat_edges(spark, scale=8, n_edges=5000, seed=3)
+    e2 = rmat_edges(spark, scale=8, n_edges=5000, seed=3).repartition(13)
+    a = sorted((r.src, r.dst) for r in e1.collect())
+    b = sorted((r.src, r.dst) for r in e2.collect())
+    assert a == b and len(a) == 5000  # partitioning-invariant, exact count
+    assert all(0 <= s < 256 and 0 <= d < 256 for s, d in a)
+    # a different seed is a different graph
+    c = sorted((r.src, r.dst) for r in
+               rmat_edges(spark, scale=8, n_edges=5000, seed=4).collect())
+    assert c != a
+
+
+def test_rmat_quadrant_frequencies(spark):
+    from engine.datagen import rmat_edges
+    import pyspark.sql.functions as F
+
+    # top-level bit pair frequencies ~ (a, b, c, d) — check the marginals
+    # P(src top half) = c + d and P(dst top half) = b + d on 40k edges
+    a_, b_, c_ = 0.57, 0.19, 0.19
+    e = rmat_edges(spark, scale=10, n_edges=40_000, a=a_, b=b_, c=c_, seed=7)
+    top = 1 << 9
+    r = e.agg(
+        F.avg((F.col("src") >= top).cast("double")).alias("ps"),
+        F.avg((F.col("dst") >= top).cast("double")).alias("pd"),
+    ).collect()[0]
+    import math
+    sig = 3 * math.sqrt(0.25 / 40_000)
+    assert abs(r.ps - (c_ + (1 - a_ - b_ - c_))) < sig, r.ps
+    assert abs(r.pd - (b_ + (1 - a_ - b_ - c_))) < sig, r.pd
+
+
+def test_rmat_skew_grows_with_a(spark):
+    from engine.datagen import rmat_edges
+    import pyspark.sql.functions as F
+
+    def max_outdeg(a, b, c):
+        e = rmat_edges(spark, scale=10, n_edges=30_000, a=a, b=b, c=c, seed=9)
+        return (
+            e.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    uniform = max_outdeg(0.25, 0.25, 0.25)
+    skewed = max_outdeg(0.7, 0.1, 0.1)
+    assert skewed > 3 * uniform, (uniform, skewed)
+
+
+def test_rmat_contracts(spark):
+    from engine.datagen import rmat_edges
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        rmat_edges(spark, scale=0)
+    with pytest.raises(ValueError, match="a,b,c"):
+        rmat_edges(spark, scale=4, a=0.5, b=0.3, c=0.3)
