@@ -59,6 +59,12 @@ def minmax_scale(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     top = (1 << bits) - 1
     out = df
     for c in cols:
+        if row[f"_mn_{c}"] is None:
+            raise ValueError(
+                f"minmax_scale: column {c!r} has no non-null values — "
+                f"cannot derive a layout range (drop it from the z-order "
+                f"columns or fill it first)"
+            )
         mn, mx = float(row[f"_mn_{c}"]), float(row[f"_mx_{c}"])
         span = mx - mn
         if span <= 0:

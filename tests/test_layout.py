@@ -126,3 +126,11 @@ def test_parquet_minmax_pruning_effect(spark, tmp_path):
     back = spark.read.parquet(p_z)
     assert back.count() == 4096
     assert sorted((r.x, r.y) for r in back.collect()) == sorted(pts)
+
+
+def test_minmax_scale_all_null_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "x long, y double"
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        minmax_scale(df, ["y"], bits=4)
