@@ -218,3 +218,72 @@ def reservoir_per_key(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_draws(
+    items: DataFrame,
+    draws: DataFrame,
+    weight_col: str = "n",
+    item_col: str = "word",
+    draw_col: str = "draw_id",
+    power: float = 1.0,
+    seed: int = 13,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(draw_id, item) — one weighted categorical draw per input row,
+    P(item) ∝ weight^power. ``power=0.75`` is word2vec's negative-sampling
+    distribution (Mikolov et al. 2013 — public knowledge); the draws are
+    hash-derived row properties, so the table is reproducible under any
+    partitioning/resume, like every sampler in this module.
+
+    Spark shape: the item table gets cumulative-weight intervals
+    [lo, hi) via ONE single-partition window — deliberate and bounded:
+    this is a VOCABULARY-sized table (the aggregated dict, not the
+    corpus; same contract as learn_bpe and the report windows). Matching
+    a draw's target to its interval is a bucketized EQUI join (the
+    interval side explodes to the ~(w_i/total)*n_buckets+1 buckets it
+    spans — total explode volume is n_buckets + |V| rows), never a
+    per-draw scan of the vocabulary. Exactly one item matches per draw.
+    """
+    from pyspark.sql import Window
+
+    if power < 0:
+        raise ValueError(f"power must be >= 0, got {power}")
+    w = F.pow(F.col(weight_col).cast("double"), F.lit(float(power)))
+    ordered = Window.orderBy("item")
+    iv = (
+        items.select(F.col(item_col).alias("item"), w.alias("w"))
+        .filter(F.col("w") > 0)
+        .withColumn("hi", F.sum("w").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn("lo", F.col("hi") - F.col("w"))
+        .localCheckpoint(eager=True)
+    )
+    row = iv.agg(F.max("hi").alias("t"), F.count(F.lit(1)).alias("v")).collect()[0]
+    if row.v == 0:
+        raise ValueError("weighted_draws: no item has positive weight")
+    total, bw = float(row.t), float(row.t) / n_buckets
+    buckets = iv.select(
+        "item", "lo", "hi",
+        F.explode(F.sequence(
+            F.floor(F.col("lo") / bw).cast("int"),
+            # hi is exclusive: a zero-width landing exactly on hi belongs
+            # to the NEXT item, so the span end uses the open bound
+            F.floor((F.col("hi") - F.lit(total) * 1e-15) / bw).cast("int"),
+        )).alias("b"),
+    )
+    u = (
+        F.pmod(F.xxhash64(F.col(draw_col), F.lit(seed)), F.lit(1_000_003))
+        / F.lit(1_000_003.0)
+    )
+    targets = draws.select(
+        F.col(draw_col).alias("draw_id"), (u * total).alias("target")
+    ).withColumn("b", F.floor(F.col("target") / bw).cast("int"))
+    out = (
+        targets.join(buckets, "b")
+        .filter((F.col("lo") <= F.col("target")) & (F.col("target") < F.col("hi")))
+        .select("draw_id", "item")
+    )
+    iv.unpersist()
+    return out

@@ -197,3 +197,74 @@ def test_temperature_weights():
         SA.temperature_weights(counts, 0.0)
     with pytest.raises(ValueError, match="weight"):
         SA.weighted_resample(None, {"a": -1.0}, "s", ["k"])
+
+
+def test_weighted_draws_exact_oracle(spark):
+    """Every draw lands in EXACTLY the interval the cumulative-weight
+    layout assigns it: recompute each draw's target from the same hash and
+    binary-search a driver-side cumsum (same item ordering). This verifies
+    the bucketized equi-join end-to-end — bucket routing, the open upper
+    bound, multi-bucket spans for heavy items — not just a statistical
+    shape."""
+    import bisect
+
+    items = spark.createDataFrame(
+        [("alpha", 5), ("bravo", 1), ("china", 0), ("delta", 400), ("echo", 2)],
+        "word string, n long",
+    )
+    draws = spark.range(5000).select(F.col("id").alias("draw_id"))
+    got = {
+        r.draw_id: r.item
+        for r in SA.weighted_draws(
+            items, draws, power=0.75, seed=7, n_buckets=64
+        ).collect()
+    }
+    # exactly one item per draw, zero-weight item never drawn
+    assert len(got) == 5000
+    assert "china" not in got.values()
+
+    # driver-side oracle: same ordering (orderBy word), same hash
+    names = ["alpha", "bravo", "delta", "echo"]
+    ws = [5 ** 0.75, 1.0, 400 ** 0.75, 2 ** 0.75]
+    cum, t = [], 0.0
+    for w in ws:
+        t += w
+        cum.append(t)
+    hashes = {
+        r.draw_id: r.h
+        for r in draws.select(
+            "draw_id", F.pmod(F.xxhash64("draw_id", F.lit(7)), F.lit(1_000_003)).alias("h")
+        ).collect()
+    }
+    for d, item in got.items():
+        target = hashes[d] / 1_000_003.0 * t
+        want = names[bisect.bisect_right(cum, target)] if target < t else names[-1]
+        assert item == want, f"draw {d}: got {item}, oracle {want}"
+
+    # heavy item dominates: w(delta)^.75 ≈ 89 of ≈96 total mass
+    frac_delta = sum(1 for v in got.values() if v == "delta") / 5000
+    assert 0.88 <= frac_delta <= 0.97
+
+
+def test_weighted_draws_determinism_and_validation(spark):
+    items = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(50)], "word string, n long"
+    )
+    draws = spark.range(2000).select(F.col("id").alias("draw_id"))
+    a = sorted(map(tuple, SA.weighted_draws(items, draws, seed=3).collect()))
+    b = sorted(map(tuple, SA.weighted_draws(
+        items.repartition(17), draws.repartition(5), seed=3
+    ).collect()))
+    assert a == b  # partitioning-invariant, like every sampler here
+    c = sorted(map(tuple, SA.weighted_draws(items, draws, seed=4).collect()))
+    assert a != c  # a different seed is a different draw
+    # power=0 -> uniform over positive-weight items (loose bound: 2000
+    # draws over 50 items, expect 40 each)
+    u = SA.weighted_draws(items, draws, power=0.0, seed=3)
+    per = [r.c for r in u.groupBy("item").agg(F.count("*").alias("c")).collect()]
+    assert len(per) == 50 and min(per) > 10 and max(per) < 90
+    with pytest.raises(ValueError, match="power"):
+        SA.weighted_draws(items, draws, power=-1.0)
+    zero = spark.createDataFrame([("a", 0)], "word string, n long")
+    with pytest.raises(ValueError, match="positive weight"):
+        SA.weighted_draws(zero, draws)
