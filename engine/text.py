@@ -517,3 +517,130 @@ def redact_pii(
         token = replacement.replace("{kind}", kind.upper())
         col = F.regexp_replace(col, F.lit(PII_PATTERNS[kind]), F.lit(token))
     return docs.withColumn(text_col, col)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + C4-style line cleaning (round 4)
+# ---------------------------------------------------------------------------
+
+# C0 controls minus \t\n\r, plus DEL and the zero-width/BOM family — the
+# characters every web-corpus pipeline strips (C4/Dolma/RefinedWeb
+# practice). The class members are LITERAL characters (Python \x/\u
+# escapes resolve before the pattern string is built), so Java regex and
+# python `re` see byte-identical patterns and the test oracle runs the
+# SAME string.
+CONTROL_CHARS_RE = (
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+    "\u200b\u200c\u200d\ufeff]"
+)
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    unicode_form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_spaces: bool = True,
+) -> DataFrame:
+    """Canonical text cleanup: CRLF/CR -> LF, control/zero-width strip,
+    space-run collapse + per-line edge trim, optional Unicode NFC.
+
+    Everything except NFC is codegen'd ``regexp_replace`` (zero shuffle,
+    zero Python). NFC itself has no JVM builtin in Spark SQL, so it is the
+    one Arrow-batched pandas-UDF step — vectorized ``unicodedata.normalize``
+    per batch, the documented slow-path exception (SURVEY §2 B.9). Pass
+    ``unicode_form=None`` to stay entirely JVM-side.
+
+    Order matters and is part of the contract (mirrored by the oracle):
+    newline canonicalization, then control strip, then space collapse,
+    then NFC last (so composition can't resurrect a stripped mark's
+    combining form ordering).
+    """
+    col = F.col(text_col)
+    col = F.regexp_replace(col, F.lit("\\r\\n?"), F.lit("\n"))
+    if strip_control:
+        col = F.regexp_replace(col, F.lit(CONTROL_CHARS_RE), F.lit(""))
+    if collapse_spaces:
+        col = F.regexp_replace(col, F.lit("[ \\t]+"), F.lit(" "))
+        col = F.regexp_replace(col, F.lit(" ?\\n ?"), F.lit("\n"))
+        # explicit edge-trim pattern (NOT F.trim, which strips only
+        # spaces): by this point \r is canonicalized and controls are
+        # gone, so [ \t\n] is the full whitespace alphabet — the same
+        # pattern string runs in the python-re oracle
+        col = F.regexp_replace(
+            col, F.lit("^[ \\t\\n]+|[ \\t\\n]+$"), F.lit("")
+        )
+    out = docs.withColumn(text_col, col)
+    if unicode_form is not None:
+        if unicode_form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown unicode form {unicode_form!r}")
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        form = unicode_form
+
+        # NB: no pd.Series type hints — this module uses
+        # `from __future__ import annotations`, which stringifies them
+        # and breaks pandas_udf's eval-type inference; the returnType
+        # argument alone selects the scalar Arrow-batched form.
+        @pandas_udf(StringType())
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize(form, t)
+                if t is not None
+                else None
+            )
+
+        out = out.withColumn(text_col, _nfc(F.col(text_col)))
+    return out
+
+
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def clean_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    drop_markers: tuple[str, ...] = ("javascript", "cookie", "{"),
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4's line-level heuristics (Raffel et al. 2020 §2.2, public): keep
+    only lines with >= ``min_words`` whitespace words, (optionally) ending
+    in terminal punctuation, and not containing any lowercase
+    ``drop_markers`` substring; drop documents left with fewer than
+    ``min_lines`` surviving lines.
+
+    One codegen'd split -> ``filter`` (array lambda) -> ``array_join``
+    projection plus one length filter: zero shuffle, zero Python, the
+    whole corpus pass is a single WholeStageCodegen span. At 100 TB this
+    is the shape you want for a rule that touches every byte once.
+    """
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        c = F.size(F.split(F.trim(line), r"\s+")) >= min_words
+        c = c & (F.length(F.trim(line)) > 0)
+        if require_terminal:
+            term = None
+            for p in TERMINAL_PUNCT:
+                t = F.endswith(F.trim(line), F.lit(p))
+                term = t if term is None else (term | t)
+            c = c & term
+        low = F.lower(line)
+        for m in drop_markers:
+            c = c & ~F.contains(low, F.lit(m.lower()))
+        return c
+
+    kept = F.filter(lines, keep)
+    return (
+        docs.withColumn("__kept", kept)
+        .filter(F.size("__kept") >= min_lines)
+        .withColumn(text_col, F.array_join(F.col("__kept"), "\n"))
+        .drop("__kept")
+    )
