@@ -488,6 +488,76 @@ def main() -> None:
     extra["packed_batches"] = n_pack
     log(f"pack_sequences: {n_pack} batches in {q['pack_sequences_2048']:.1f}s")
 
+    # n-gram LM: train a trigram stupid-backoff model on the even docs,
+    # perplexity-score the whole table (held-out odd docs exercise the
+    # backoff/OOV paths at real rates)
+    from engine import lm as LMOD
+
+    t0 = time.monotonic()
+    lm_model = LMOD.train_ngram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), n=3, min_count=2
+    )
+    q["lm_train_3gram"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    scored = LMOD.score_perplexity(docs, lm_model)
+    srow = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_approx(ppl, 0.5)").alias("p50"),
+    ).collect()[0]
+    q["lm_score_ppl"] = time.monotonic() - t0
+    extra["lm"] = {
+        "vocab": lm_model.vocab_size,
+        "total_tokens": lm_model.total_tokens,
+        "docs_scored": int(srow.n),
+        "median_ppl": round(float(srow.p50), 2),
+    }
+    log(
+        f"lm: train {q['lm_train_3gram']:.1f}s "
+        f"(V={lm_model.vocab_size}), score {q['lm_score_ppl']:.1f}s "
+        f"(median ppl {srow.p50:.1f})"
+    )
+
+    # normalization + C4 line cleaning: the every-byte-once corpus pass
+    from engine.text import clean_lines, normalize_text
+
+    t0 = time.monotonic()
+    n_clean = clean_lines(
+        normalize_text(docs, unicode_form=None), require_terminal=False
+    ).count()
+    q["normalize_clean_lines"] = time.monotonic() - t0
+    extra["clean_docs_kept"] = n_clean
+    log(f"normalize+clean_lines: {n_clean} docs in {q['normalize_clean_lines']:.1f}s")
+
+    # feature smoothing: 2 rounds of SGC-mean over the docs graph with
+    # 8-dim hash-synthesized features (graph build excluded from the row)
+    from engine.algos.featprop import smooth_features
+
+    fv, fe = build_graph(documents_as_source(spark, sf_dir), log_dropped=False)
+    fe = fe.persist()
+    feats = fv.select(
+        "vid",
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64("vid", F.lit(i)), F.lit(1000))
+                    / F.lit(1000.0)
+                )
+                for i in range(8)
+            ]
+        ).alias("x"),
+    ).persist()
+    n_e, n_f = fe.count(), feats.count()
+    t0 = time.monotonic()
+    n_sm = smooth_features(spark, fe, feats, rounds=2, dim=8).count()
+    q["feature_smoothing_2r"] = time.monotonic() - t0
+    extra["feature_smoothing"] = {"vertices": n_sm, "edges": n_e}
+    fe.unpersist()
+    feats.unpersist()
+    log(
+        f"feature_smoothing: {n_sm} vertices x 8 dims, 2 rounds over "
+        f"{n_e} edges in {q['feature_smoothing_2r']:.1f}s"
+    )
+
     total = time.monotonic() - t_all
     out = {
         "metric": "pagerank_edges_per_sec_per_iteration",
