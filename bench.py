@@ -38,6 +38,7 @@ from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.neighborhood import neighborhood_function  # noqa: E402
 from engine.algos.msf import minimum_spanning_forest  # noqa: E402
 from engine.algos.pagerank import pagerank, pagerank_delta  # noqa: E402
+from engine.algos.temporal import earliest_arrival  # noqa: E402
 from engine.algos.toposort import topological_layers  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
 from engine.algos.walks import random_walks  # noqa: E402
@@ -244,6 +245,30 @@ def main() -> None:
     tp.unlayered.unpersist()
     log(f"topo_layers: depth {tp.depth} (dag={tp.is_dag}) in "
         f"{q['topo_layers']:.1f}s")
+
+    # temporal earliest-arrival reachability (frontier-filtered label
+    # correction): timestamps synthesized as a deterministic edge hash so
+    # the run is reproducible and multi-round; sources = 64 repo vertices
+    t0 = time.monotonic()
+    te = e.withColumn(
+        "ts", (F.pmod(F.xxhash64("src", "dst"), F.lit(64))).cast("double")
+    )
+    tsrc = (
+        v.filter(F.col("vtype") == "repo")
+        .orderBy("vid")
+        .limit(64)
+        .select("vid", F.lit(0.0).alias("t0"))
+    )
+    ea = earliest_arrival(spark, te, tsrc)
+    n_reached = ea.arrivals.count()
+    q["temporal_earliest_arrival"] = time.monotonic() - t0
+    extra["temporal"] = {
+        "reached": n_reached, "rounds": ea.iterations,
+        "converged": ea.converged,
+    }
+    ea.arrivals.unpersist()
+    log(f"temporal: {n_reached} reached, {ea.iterations} rounds in "
+        f"{q['temporal_earliest_arrival']:.1f}s")
 
     # random-walk corpus generation (DeepWalk-style training-data path):
     # one walk per vertex, 8 steps — per step one O(walks) shuffle against
