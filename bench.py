@@ -38,6 +38,7 @@ from engine.algos.lpa import label_propagation  # noqa: E402
 from engine.algos.neighborhood import neighborhood_function  # noqa: E402
 from engine.algos.msf import minimum_spanning_forest  # noqa: E402
 from engine.algos.pagerank import pagerank, pagerank_delta  # noqa: E402
+from engine.algos.partition import edge_cut, partition_graph  # noqa: E402
 from engine.algos.temporal import earliest_arrival  # noqa: E402
 from engine.algos.toposort import topological_layers  # noqa: E402
 from engine.algos.triangles import triangle_count  # noqa: E402
@@ -245,6 +246,27 @@ def main() -> None:
     tp.unlayered.unpersist()
     log(f"topo_layers: depth {tp.depth} (dag={tp.is_dag}) in "
         f"{q['topo_layers']:.1f}s")
+
+    # balanced k-way partitioning (Spinner LPA): the locality assignment
+    # that would key the bucketed edge store at scale; reported against
+    # the hash-assignment cut it starts from
+    t0 = time.monotonic()
+    pr_res = partition_graph(spark, e, k=8, max_rounds=6, track_cut=False)
+    q["partition_graph_k8"] = time.monotonic() - t0
+    base_asg = pr_res.assignment.select(
+        "vid", F.pmod(F.xxhash64("vid"), F.lit(8)).cast("int").alias("part")
+    )
+    extra["partition"] = {
+        "rounds": pr_res.rounds,
+        "converged": pr_res.converged,
+        "cut": pr_res.cut_history[-1],
+        "hash_cut": edge_cut(e, base_asg),
+        "max_load_over_avg": max(pr_res.loads.values())
+        / (sum(pr_res.loads.values()) / pr_res.k),
+    }
+    pr_res.assignment.unpersist()
+    log(f"partition k8: cut {extra['partition']['cut']} vs hash "
+        f"{extra['partition']['hash_cut']} in {q['partition_graph_k8']:.1f}s")
 
     # temporal earliest-arrival reachability (frontier-filtered label
     # correction): timestamps synthesized as a deterministic edge hash so

@@ -1,0 +1,443 @@
+"""Balanced k-way graph partitioning — Spinner-style label propagation.
+
+Why this operator exists: the north rule says "partitioning / shuffle /
+skew handled explicitly". Hash partitioning (what every `repartition(P,
+"src")` in this engine does) balances perfectly but cuts ~(1-1/k) of the
+edges; for a 10^12-edge graph whose iterative workloads shuffle along
+edges every round, a LOCALITY-AWARE assignment that keeps most edges
+inside a partition is the difference between an O(E) network exchange
+per iteration and an O(cut) one. This module computes that assignment as
+data (vid -> part), to be used as the key for `DataFrameWriter.
+partitionBy` / bucketing or as a custom shuffle key.
+
+Public semantics: Spinner (Martella, Logothetis, Siganos, Hodson —
+"Spinner: Scalable Graph Partitioning in the Cloud", ICDE 2017): label
+propagation where the label IS the partition id, scoring a candidate
+partition by the fraction of a vertex's neighbors already there plus a
+penalty for loaded partitions, under a degree-weighted capacity
+``C = (1 + slack) * total_degree / k``.
+
+Spark shape (all set-oriented, no per-vertex driver logic):
+
+* Neighbor-label histogram: one equi-join (edges x labels on dst) + one
+  (src, part) partial-agg count per round — the same O(E) gather shape
+  as PageRank, so everything known about its scaling applies.
+* Partition loads are k scalars — collected to the driver each round
+  (scalar-only driver traffic, the repo's loop contract) and joined
+  back as a broadcast k-row table.
+* Capacity enforcement is deterministic, not probabilistic (Spinner
+  migrates with a probability; a Spark-first design wants bit-stable
+  reruns): candidate movers queue per target partition in (gain desc,
+  vid asc) order and a running-sum window admits prefixes whose degree
+  mass fits the remaining capacity. One window over the candidate set —
+  O(movers log movers) in the shuffle, never O(V).
+* Oscillation control: a mover must strictly improve its own score by
+  ``min_gain``, and each round a deterministic per-round coin
+  (pmod(xxhash64(vid, round), 2) == 0) halves the active movers — the
+  classic LPA A<->B flip-flop of two adjacent vertices breaks in the
+  first round where the coin activates exactly one of them, and the
+  coin is re-drawn every round so no pair is starved forever.
+* Capacity deadlock control: when two partitions both sit at capacity
+  no single move fits even though a balanced improvement exists; a
+  Kernighan–Lin-style exchange pass pairs capacity-blocked candidates
+  in opposite directions by gain rank and admits the longest swap
+  prefix both sides' budgets allow (hard bound preserved — budgets
+  split each partition's slack across the pair-flows touching it).
+
+Termination: fixpoint = no vertex strictly wants to move (checked on
+the UNGATED candidate set, so a coin-idle round is never mistaken for
+convergence); otherwise the rounds cap, with ``converged=False`` —
+the assignment is still valid and balanced, just a plateau. Edge-cut
+per round is optional reporting (``track_cut``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engine.algos.loopstate import fresh_checkpoint
+from engine.algos.pagerank import iterative_conf
+
+
+@dataclass
+class PartitionResult:
+    """``assignment``: (vid, part) for every vertex incident to an edge —
+    caller-owned eager checkpoint (unpersist when retired). ``cut_history``
+    has one entry per round (undirected edge-cut AFTER that round's
+    moves), or just the final cut when ``track_cut=False``.
+    ``loads``: final degree-weighted load per partition (k floats).
+    ``capacity``: the degree-mass bound every round respected."""
+
+    assignment: DataFrame
+    k: int
+    rounds: int
+    converged: bool
+    cut_history: list[int]
+    loads: dict[int, float]
+    capacity: float
+
+
+def partition_graph(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    slack: float = 0.05,
+    penalty: float = 1.0,
+    min_gain: float = 1e-9,
+    max_rounds: int = 30,
+    track_cut: bool = True,
+) -> PartitionResult:
+    """Balanced k-way partition of the undirected view of ``edges``.
+
+    ``slack``: balance tolerance — every partition's degree-weighted
+    load stays <= (1 + slack) * total_degree / k at every round end
+    (provided the initial hash assignment respects it, which it does up
+    to hash variance; enforcement is inflow-side).
+    ``penalty``: weight of the load-balance term in Spinner's score.
+    ``track_cut``: measure the edge-cut after every round (one extra
+    O(E) join-count per round — reporting, not part of the algorithm;
+    disable at scale and read the final cut from ``cut_history[-1]``,
+    which is always measured).
+    """
+    if k < 2:
+        raise ValueError(f"partition_graph: k must be >= 2, got {k}")
+    with iterative_conf(spark):
+        return _spinner(
+            spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut
+        )
+
+
+def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Undirected multigraph view: both orientations, self-loops dropped.
+    # Parallel edges KEPT — Spinner's score weights a neighbor by edge
+    # multiplicity, and the histogram count does exactly that for free.
+    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(P, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    total_deg = und.count()  # == sum(deg)
+    if total_deg == 0:
+        und.unpersist()
+        raise ValueError("partition_graph: no non-loop edges")
+    capacity = (1.0 + slack) * total_deg / k
+
+    # Initial assignment: hash — balanced up to variance, locality-free.
+    labels = fresh_checkpoint(
+        deg.select(
+            F.col("src").alias("vid"),
+            F.pmod(F.xxhash64("src"), F.lit(k)).cast("int").alias("part"),
+            "deg",
+        ).repartition(P, "vid")
+    )
+
+    cut_history: list[int] = []
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # Neighbor-partition histogram w(v, p): the O(E) gather.
+        hist = (
+            und.join(
+                labels.select(F.col("vid").alias("dst"), F.col("part").alias("np")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vid"), F.col("np"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        # k partition loads -> driver (k scalars), back as a broadcast row.
+        load_rows = (
+            labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
+        )
+        loads = {int(r.part): float(r.load) for r in load_rows}
+        load_df = F.broadcast(
+            spark.createDataFrame(
+                [(p, loads.get(p, 0.0)) for p in range(k)],
+                "np int, load double",
+            )
+        )
+        # Spinner score for every (v, candidate p with >=1 neighbor there).
+        scored = (
+            hist.join(load_df, "np")
+            .join(labels.select("vid", "part", "deg"), "vid")
+            .select(
+                "vid",
+                "part",
+                "deg",
+                "np",
+                (
+                    F.col("w") / F.col("deg")
+                    + F.lit(penalty) * (F.lit(1.0) - F.col("load") / F.lit(capacity))
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(F.struct("score", F.col("np").alias("p"))).alias("b"),
+                F.first("part").alias("part"),
+                F.first("deg").alias("deg"),
+                # score of STAYING; 0 neighbors in the current partition
+                # produces no row -> null, coalesced below
+                F.max(
+                    F.when(F.col("np") == F.col("part"), F.col("score"))
+                ).alias("stay"),
+            )
+            # current partition's load for the no-neighbor stay fallback
+            .join(
+                load_df.select(
+                    F.col("np").alias("part"), F.col("load").alias("cur_load")
+                ),
+                "part",
+            )
+        )
+        stay_term = F.coalesce(
+            F.col("stay"),
+            # no neighbor in the current partition: locality term is 0,
+            # balance term still applies to the CURRENT partition's load
+            F.lit(penalty)
+            * (F.lit(1.0) - F.col("cur_load") / F.lit(capacity)),
+        )
+        # movers: strict gain over staying. Oscillation control (the
+        # classic LPA a<->b flip-flop of adjacent vertices) is a
+        # per-ROUND deterministic coin — xxhash64(vid, round) — so a
+        # symmetric pair eventually hits a round where exactly one of
+        # them is active; a static per-vertex class would let same-class
+        # neighbors oscillate forever AND would split opposite-direction
+        # movers across rounds, starving the exchange pass.
+        want = (
+            best.filter(
+                (F.col("b.p") != F.col("part"))
+                & (F.col("b.score") > stay_term + F.lit(min_gain))
+            )
+            .select(
+                "vid",
+                "deg",
+                F.col("part").alias("old"),
+                F.col("b.p").alias("new"),
+                (F.col("b.score") - stay_term).alias("gain"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_want = want.count()
+        if n_want == 0:
+            want.unpersist()
+            converged = True
+            break
+        cand = want.filter(
+            F.pmod(F.xxhash64("vid", F.lit(rounds)), F.lit(2)) == F.lit(0)
+        )
+        # Deterministic capacity admission, two passes — both preserve the
+        # hard bound load_p <= capacity at every round end:
+        #
+        # FLOW pass: per target partition, admit the (gain desc, vid asc)
+        # prefix whose cumulative degree fits the remaining capacity
+        # computed from start-of-round loads. Leavers only free mass, so
+        # end load <= start load + admitted inflow <= capacity.
+        #
+        # EXCHANGE pass (Kernighan–Lin-style swaps, public knowledge):
+        # when two partitions BOTH sit near capacity, no single move fits
+        # and the flow pass deadlocks even though a balanced improvement
+        # exists (two cliques split across two full partitions). Blocked
+        # candidates in opposite directions (a->b and b->a) are paired by
+        # rank and admitted as swaps for the longest prefix along which
+        # BOTH partitions stay within capacity (running-min window over
+        # the paired degree deltas).
+        wn = Window.partitionBy("new").orderBy(
+            F.col("gain").desc(), F.col("vid").asc()
+        )
+        rem_df = F.broadcast(
+            spark.createDataFrame(
+                [(p, max(0.0, capacity - loads.get(p, 0.0))) for p in range(k)],
+                "new int, rem double",
+            )
+        )
+        flow = (
+            cand.join(rem_df, "new")
+            .withColumn("cum", F.sum("deg").over(wn))
+            .filter(F.col("cum") <= F.col("rem"))
+            .select("vid", "old", "new", "deg")
+            .localCheckpoint(eager=True)
+        )
+        # loads after the flow pass (k scalars each way — driver math)
+        loads1 = dict(loads)
+        for r in flow.groupBy("new").agg(F.sum("deg").alias("d")).collect():
+            loads1[int(r.new)] = loads1.get(int(r.new), 0.0) + float(r.d)
+        for r in flow.groupBy("old").agg(F.sum("deg").alias("d")).collect():
+            loads1[int(r.old)] = loads1.get(int(r.old), 0.0) - float(r.d)
+        swaps = _exchange_pass(
+            spark, cand.join(flow.select("vid"), "vid", "left_anti"),
+            loads1, capacity, k,
+        )
+        admitted = (
+            flow.select("vid", F.col("new").alias("part2"))
+            .union(swaps.select("vid", F.col("new").alias("part2")))
+        )
+        new_labels = fresh_checkpoint(
+            labels.join(admitted, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("part2", "part").alias("part"),
+                "deg",
+            )
+            .repartition(P, "vid")
+        )
+        labels.unpersist()
+        labels = new_labels
+        want.unpersist()
+        flow.unpersist()
+        swaps.unpersist()
+        if track_cut:
+            # Edge-cut after the moves: one O(E) join-count. (Count of
+            # discordant directed ``und`` rows / 2 == undirected cut.)
+            cut2 = (
+                und.join(
+                    labels.select(
+                        F.col("vid").alias("src"), F.col("part").alias("ps")
+                    ),
+                    "src",
+                )
+                .join(
+                    labels.select(
+                        F.col("vid").alias("dst"), F.col("part").alias("pd")
+                    ),
+                    "dst",
+                )
+                .filter(F.col("ps") != F.col("pd"))
+                .count()
+            )
+            cut_history.append(cut2 // 2)
+    final_loads = {
+        int(r.part): float(r.load)
+        for r in labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
+    }
+    if not track_cut:
+        cut_history.append(edge_cut(und, labels.select("vid", "part")) // 2)
+    und.unpersist()
+    return PartitionResult(
+        assignment=labels.select("vid", "part"),
+        k=k,
+        rounds=rounds,
+        converged=converged,
+        cut_history=cut_history,
+        loads=final_loads,
+        capacity=capacity,
+    )
+
+
+def _exchange_pass(spark, blocked, loads1, capacity, k):
+    """Pair capacity-blocked opposite-direction candidates (a->b with
+    b->a) by gain rank and admit the longest swap prefix each side's
+    budget allows. Budgets split each partition's remaining slack evenly
+    across the pair-flows touching it, so simultaneous swaps over
+    different pairs can never jointly overshoot: sum of a's per-pair
+    inflow bounds == capacity - load_a. Returns (vid, new)."""
+    wf = Window.partitionBy("old", "new").orderBy(
+        F.col("gain").desc(), F.col("vid").asc()
+    )
+    ranked = blocked.select(
+        "vid", "old", "new", "deg", "gain", F.row_number().over(wf).alias("rn")
+    ).localCheckpoint(eager=True)
+    pair_rows = (
+        ranked.select(
+            F.least("old", "new").alias("pa"), F.greatest("old", "new").alias("pb")
+        )
+        .distinct()
+        .collect()
+    )
+    if not pair_rows:
+        out = ranked.select("vid", "new").limit(0).localCheckpoint(eager=True)
+        ranked.unpersist()
+        return out
+    touch: dict[int, int] = {}
+    for r in pair_rows:
+        touch[int(r.pa)] = touch.get(int(r.pa), 0) + 1
+        touch[int(r.pb)] = touch.get(int(r.pb), 0) + 1
+    budgets = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    int(r.pa),
+                    int(r.pb),
+                    max(0.0, capacity - loads1.get(int(r.pa), 0.0))
+                    / touch[int(r.pa)],
+                    max(0.0, capacity - loads1.get(int(r.pb), 0.0))
+                    / touch[int(r.pb)],
+                )
+                for r in pair_rows
+            ],
+            "pa int, pb int, budget_a double, budget_b double",
+        )
+    )
+    l1 = ranked.filter(F.col("old") < F.col("new")).select(
+        F.col("vid").alias("vid1"),
+        F.col("old").alias("pa"),
+        F.col("new").alias("pb"),
+        F.col("deg").alias("deg1"),
+        "rn",
+    )
+    l2 = ranked.filter(F.col("old") > F.col("new")).select(
+        F.col("vid").alias("vid2"),
+        F.col("new").alias("pa"),
+        F.col("old").alias("pb"),
+        F.col("deg").alias("deg2"),
+        "rn",
+    )
+    paired = l1.join(l2, ["pa", "pb", "rn"]).join(budgets, ["pa", "pb"])
+    run = (
+        Window.partitionBy("pa", "pb")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("pa", "pb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # net inflow to pa after taking the prefix ending at this row; the
+    # constraint only binds at the CHOSEN prefix end (swaps are
+    # simultaneous), so take the LARGEST rank whose prefix is valid
+    scored = paired.select(
+        "*",
+        (F.sum("deg2").over(run) - F.sum("deg1").over(run)).alias("net_a"),
+    ).select(
+        "*",
+        F.max(
+            F.when(
+                (F.col("net_a") <= F.col("budget_a"))
+                & (-F.col("net_a") <= F.col("budget_b")),
+                F.col("rn"),
+            )
+        )
+        .over(full)
+        .alias("mstar"),
+    )
+    taken = scored.filter(F.col("rn") <= F.col("mstar"))
+    moves = taken.select(F.col("vid1").alias("vid"), F.col("pb").alias("new")).union(
+        taken.select(F.col("vid2").alias("vid"), F.col("pa").alias("new"))
+    )
+    out = moves.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return out
+
+
+def edge_cut(edges: DataFrame, assignment: DataFrame) -> int:
+    """Undirected edge-cut of ``assignment`` over ``edges`` (self-loops
+    ignored; parallel edges each counted)."""
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return (
+        und.join(
+            assignment.select(F.col("vid").alias("src"), F.col("part").alias("ps")),
+            "src",
+        )
+        .join(
+            assignment.select(F.col("vid").alias("dst"), F.col("part").alias("pd")),
+            "dst",
+        )
+        .filter(F.col("ps") != F.col("pd"))
+        .count()
+    )

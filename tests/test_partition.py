@@ -1,0 +1,102 @@
+"""Spinner-style balanced k-way partitioning: validity (total, in-range),
+degree-weighted balance under the capacity bound, cut improvement over the
+hash init on community-structured graphs, perfect split on two cliques +
+bridge, bit-determinism, parameter validation."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from engine.algos.partition import edge_cut, partition_graph
+from tests.conftest import edges_df
+
+
+def _clique_pair(n=12):
+    """Two n-cliques joined by one bridge edge: ideal 2-cut == 1."""
+    pairs = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            pairs.append((a, b))
+            pairs.append((100 + a, 100 + b))
+    pairs.append((0, 100))
+    return pairs
+
+
+def _hash_cut(spark, df, k):
+    """Cut of the initial assignment (hash mod k) — the baseline."""
+    asg = (
+        df.select(F.col("src").alias("vid"))
+        .union(df.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.pmod(F.xxhash64("vid"), F.lit(k)).cast("int").alias("part"))
+    )
+    return edge_cut(df, asg)
+
+
+def test_two_cliques_perfect_split(spark):
+    pairs = _clique_pair(12)
+    df = edges_df(spark, pairs)
+    res = partition_graph(spark, df, k=2, max_rounds=20)
+    asg = {r.vid: r.part for r in res.assignment.collect()}
+    # every vertex labeled, labels in range
+    assert set(asg) == {v for p in pairs for v in p[:2]}
+    assert set(asg.values()) <= {0, 1}
+    # each clique ends up monochromatic and the cliques differ
+    left = {asg[v] for v in range(12)}
+    right = {asg[100 + v] for v in range(12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert res.cut_history[-1] == 1
+    res.assignment.unpersist()
+
+
+def test_balance_and_cut_improvement_random_communities(spark):
+    # planted partition: 4 communities of 25, dense inside, sparse across
+    g = nx.planted_partition_graph(4, 25, 0.4, 0.01, seed=11)
+    pairs = [(u, v) for u, v in g.edges()]
+    df = edges_df(spark, pairs)
+    k = 4
+    res = partition_graph(spark, df, k=k, slack=0.1, max_rounds=20)
+    # balance: every partition's degree-weighted load within capacity
+    assert res.capacity == pytest.approx((1.1) * 2 * len(pairs) / k)
+    for p, load in res.loads.items():
+        assert 0 <= p < k
+        assert load <= res.capacity + 1e-9
+    # locality: final cut strictly better than the hash baseline
+    base = _hash_cut(spark, df, k)
+    final = res.cut_history[-1]
+    assert final < base
+    assert final == edge_cut(df, res.assignment)  # history is honest
+    res.assignment.unpersist()
+
+
+def test_deterministic_reruns(spark):
+    g = nx.gnm_random_graph(60, 240, seed=7)
+    df = edges_df(spark, list(g.edges()))
+    r1 = partition_graph(spark, df, k=3, max_rounds=8)
+    r2 = partition_graph(spark, df, k=3, max_rounds=8)
+    a1 = sorted((r.vid, r.part) for r in r1.assignment.collect())
+    a2 = sorted((r.vid, r.part) for r in r2.assignment.collect())
+    assert a1 == a2
+    assert r1.cut_history == r2.cut_history
+    r1.assignment.unpersist()
+    r2.assignment.unpersist()
+
+
+def test_track_cut_off_still_reports_final(spark):
+    pairs = _clique_pair(8)
+    df = edges_df(spark, pairs)
+    res = partition_graph(spark, df, k=2, max_rounds=10, track_cut=False)
+    assert len(res.cut_history) == 1
+    assert res.cut_history[-1] == edge_cut(df, res.assignment)
+    res.assignment.unpersist()
+
+
+def test_rejects_bad_k_and_empty(spark):
+    df = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="k must be"):
+        partition_graph(spark, df, k=1)
+    loops = edges_df(spark, [(3, 3), (4, 4)])
+    with pytest.raises(ValueError, match="no non-loop"):
+        partition_graph(spark, loops, k=2)
