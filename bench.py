@@ -451,6 +451,41 @@ def main() -> None:
     extra["alt"] = {"iterations": orc.iterations, "bounded_pairs": n_bounded}
     orc.fwd.unpersist()
     orc.bwd.unpersist()
+
+    # exact diameter (iFUB) of an R-MAT largest component (the cooccur
+    # subgraph's components are tiny by construction — its explode cap
+    # bounds them; R-MAT gives a real small-world giant component).
+    # bfs_count is the honest cost metric: iFUB's claim is bfs_count << V.
+    from engine.algos.diameter import diameter as exact_diameter
+    from engine.datagen import rmat_edges
+
+    rm = rmat_edges(spark, 15, 120_000, seed=9).localCheckpoint(eager=True)
+    t0 = time.monotonic()
+    cc_rm = connected_components(spark, rm)
+    big = (
+        cc_rm.labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("label").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    member = cc_rm.labels.filter(
+        F.col("label") == big.label
+    ).select(F.col("vid").alias("src"))
+    rm_big = rm.join(member, "src")
+    dia = exact_diameter(spark, rm_big, max_bfs_batch=512)
+    q["diameter_ifub_rmat"] = time.monotonic() - t0
+    extra["diameter"] = {
+        "component_size": int(big.n),
+        "diameter": dia.diameter,
+        "bfs_count": dia.bfs_count,
+        "levels_processed": dia.levels_processed,
+    }
+    cc_rm.labels.unpersist()
+    rm.unpersist()
+    log(f"diameter: {dia.diameter} ({dia.bfs_count} BFS over "
+        f"{big.n}-vertex component) in {q['diameter_ifub_rmat']:.1f}s")
+
     co.unpersist()
     e2.unpersist()
     log(f"hyperball: {nb.iterations} rounds in {q['neighborhood_hyperball']:.1f}s")
