@@ -268,6 +268,19 @@ def main() -> None:
     log(f"partition k8: cut {extra['partition']['cut']} vs hash "
         f"{extra['partition']['hash_cut']} in {q['partition_graph_k8']:.1f}s")
 
+    # WL structural refinement (3 rounds on the full structural graph):
+    # the per-round cost is the same O(E) gather as PageRank, so this
+    # benches the multiset-hash aggregation path specifically
+    from engine.algos.wlhash import wl_labels
+
+    t0 = time.monotonic()
+    wl = wl_labels(spark, e, rounds=3)
+    n_roles = wl.select("wl_label").distinct().count()
+    q["wl_refine_3r"] = time.monotonic() - t0
+    extra["wl_roles"] = n_roles
+    wl.unpersist()
+    log(f"wl_refine: {n_roles} distinct roles in {q['wl_refine_3r']:.1f}s")
+
     # temporal earliest-arrival reachability (frontier-filtered label
     # correction): timestamps synthesized as a deterministic edge hash so
     # the run is reproducible and multi-round; sources = 64 repo vertices
