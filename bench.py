@@ -268,6 +268,18 @@ def main() -> None:
     log(f"partition k8: cut {extra['partition']['cut']} vs hash "
         f"{extra['partition']['hash_cut']} in {q['partition_graph_k8']:.1f}s")
 
+    # Misra-Gries heavy hitters over the gather key (bounded-memory hub
+    # detection): the top estimate must agree with the exact skew profile
+    from engine.sketch import heavy_hitters
+
+    t0 = time.monotonic()
+    hh = heavy_hitters(e, "dst", k=64, n_shards=32)
+    top = hh.orderBy(F.col("est").desc()).limit(1).collect()[0]
+    q["heavy_hitters_dst"] = time.monotonic() - t0
+    extra["heavy_hitters_top"] = {"dst": int(top.dst), "est": float(top.est)}
+    log(f"heavy_hitters: top dst {top.dst} est {top.est:.0f} in "
+        f"{q['heavy_hitters_dst']:.1f}s")
+
     # WL structural refinement (3 rounds on the full structural graph):
     # the per-round cost is the same O(E) gather as PageRank, so this
     # benches the multiset-hash aggregation path specifically
