@@ -294,30 +294,16 @@ def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
         flow.unpersist()
         swaps.unpersist()
         if track_cut:
-            # Edge-cut after the moves: one O(E) join-count. (Count of
-            # discordant directed ``und`` rows / 2 == undirected cut.)
-            cut2 = (
-                und.join(
-                    labels.select(
-                        F.col("vid").alias("src"), F.col("part").alias("ps")
-                    ),
-                    "src",
-                )
-                .join(
-                    labels.select(
-                        F.col("vid").alias("dst"), F.col("part").alias("pd")
-                    ),
-                    "dst",
-                )
-                .filter(F.col("ps") != F.col("pd"))
-                .count()
-            )
-            cut_history.append(cut2 // 2)
+            # und carries both orientations, so edge_cut counts each
+            # discordant undirected edge twice
+            cut_history.append(edge_cut(und, labels.select("vid", "part")) // 2)
     final_loads = {
         int(r.part): float(r.load)
         for r in labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
     }
-    if not track_cut:
+    if not cut_history:
+        # track_cut=False, or round-1 convergence broke before any append:
+        # the final cut is always measured (the docstring promises [-1])
         cut_history.append(edge_cut(und, labels.select("vid", "part")) // 2)
     und.unpersist()
     return PartitionResult(

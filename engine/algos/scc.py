@@ -82,6 +82,11 @@ def condensation(
     endpoint, the same O(E) gather as everything else) + one partial-agg
     count; self-pairs (intra-component edges) drop in the filter.
     """
+    if scc is not None and scc_kwargs:
+        raise ValueError(
+            "condensation: scc and scc_kwargs are mutually exclusive — "
+            f"kwargs {sorted(scc_kwargs)} would be silently ignored"
+        )
     res = scc or strongly_connected_components(spark, edges, **scc_kwargs)
     if not res.converged:
         raise ValueError(

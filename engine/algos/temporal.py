@@ -94,11 +94,16 @@ def _ea_loop(spark, edges, sources, ts_col, dur_col, strict, max_iter, horizon):
             "earliest_arrival requires non-null timestamps/durations "
             "(a NULL would silently drop its edge from every path)"
         )
-    t0 = (
-        F.col("t0").cast("double")
-        if "t0" in sources.columns
-        else F.lit(float("-inf"))
-    )
+    if "t0" in sources.columns:
+        if sources.filter(F.col("t0").isNull()).limit(1).count():
+            e.unpersist()
+            raise ValueError(
+                "earliest_arrival requires non-null t0 in sources (a NULL "
+                "t0 would become a spurious +inf arrival, not a source)"
+            )
+        t0 = F.col("t0").cast("double")
+    else:
+        t0 = F.lit(float("-inf"))
     arr = (
         sources.select("vid", t0.alias("t_arr"))
         .groupBy("vid")

@@ -89,6 +89,18 @@ def importance_resample(
         raise ValueError(
             f"importance_resample: temperature must be >= 0, got {temperature}"
         )
+    # The LM scorer skips empty/NULL texts, so an unscoreable doc would
+    # silently vanish from the joins and the selection could come back
+    # SHORT of k with no signal — fail loudly instead (the caller decides
+    # how to pre-filter; one cheap metadata-only pass).
+    n_bad = docs.filter(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"importance_resample: {n_bad} documents have empty/NULL text "
+            "and cannot be LM-scored — filter them out explicitly first"
+        )
     w = importance_weights(docs, target_lm, source_lm)
     score = F.col("logw_per_token") if per_token else F.col("logw")
     if temperature == 0:

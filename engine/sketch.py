@@ -85,10 +85,14 @@ def cms_build(
         .groupBy("d", "b")
         .agg(F.sum("w").alias("cnt"))
     )
-    n = src.agg(F.sum("w")).collect()[0][0] or 0.0
-    return CountMinSketch(
-        cells=cells.localCheckpoint(eager=True), depth=depth, width=width, n=float(n)
+    cells = cells.localCheckpoint(eager=True)
+    # total mass = the d=0 row's cell sum (every input row contributes to
+    # every depth row) — read from the <=width-cell sketch, never a second
+    # pass over the data
+    n = (
+        cells.filter(F.col("d") == 0).agg(F.sum("cnt")).collect()[0][0] or 0.0
     )
+    return CountMinSketch(cells=cells, depth=depth, width=width, n=float(n))
 
 
 def cms_query(sketch: CountMinSketch, items: DataFrame, col: str) -> DataFrame:
@@ -168,6 +172,8 @@ def heavy_hitters(
     shard."""
     if k < 1:
         raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"heavy_hitters: n_shards must be >= 1, got {n_shards}")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     src = df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("string").alias("k"),

@@ -100,3 +100,13 @@ def test_rejects_bad_k_and_empty(spark):
     loops = edges_df(spark, [(3, 3), (4, 4)])
     with pytest.raises(ValueError, match="no non-loop"):
         partition_graph(spark, loops, k=2)
+
+
+def test_round1_convergence_still_reports_final_cut(spark):
+    # a graph whose hash init is already the fixpoint: cut_history[-1]
+    # must exist (code-review r4: round-1 convergence broke the promise)
+    df = edges_df(spark, [(0, 1)])
+    res = partition_graph(spark, df, k=2, max_rounds=5)
+    assert res.cut_history, "final cut must always be measured"
+    assert res.cut_history[-1] == edge_cut(df, res.assignment)
+    res.assignment.unpersist()

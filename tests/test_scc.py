@@ -137,3 +137,14 @@ def test_condensation_rejects_partial_and_reuses_scc(spark):
     fake = SCCResult(labels=res.labels, outer_rounds=1, converged=False)
     with _pytest.raises(ValueError, match="partial"):
         condensation(spark, edges_df(spark, pairs), scc=fake)
+
+
+def test_condensation_rejects_kwargs_with_precomputed_scc(spark):
+    import pytest as _pytest
+
+    from engine.algos.scc import condensation
+
+    pairs = [(0, 1), (1, 0)]
+    res = strongly_connected_components(spark, edges_df(spark, pairs))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        condensation(spark, edges_df(spark, pairs), scc=res, max_outer=9)

@@ -118,3 +118,13 @@ def test_k_covers_pool_and_validation(spark, lms, pool):
         importance_resample(pool, t_lm, s_lm, k=0)
     with pytest.raises(ValueError, match="temperature"):
         importance_resample(pool, t_lm, s_lm, k=1, temperature=-1.0)
+
+
+def test_unscoreable_docs_fail_loudly(spark, lms):
+    t_lm, s_lm = lms
+    pool = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="empty/NULL text"):
+        importance_resample(pool, t_lm, s_lm, k=2)

@@ -130,3 +130,9 @@ def test_heavy_hitters_deterministic_and_validates(spark):
         heavy_hitters(df, "key", k=0)
     with pytest.raises(ValueError, match="depth/width"):
         cms_build(df, "key", depth=0)
+
+
+def test_heavy_hitters_rejects_bad_shards(spark):
+    df = _zipf_df(spark, n=100)
+    with pytest.raises(ValueError, match="n_shards"):
+        heavy_hitters(df, "key", k=4, n_shards=0)

@@ -151,3 +151,10 @@ def test_reachable_raises_on_cap(spark):
         spark, _tedges_df(spark, rows), _src_df(spark, [(0, 0.0)])
     )
     assert got.count() == 13
+
+
+def test_null_t0_rejected(spark):
+    edges = _tedges_df(spark, [(0, 1, 1.0)])
+    srcs = spark.createDataFrame([(0, None)], "vid long, t0 double")
+    with pytest.raises(ValueError, match="t0"):
+        earliest_arrival(spark, edges, srcs)
