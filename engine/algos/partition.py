@@ -271,10 +271,16 @@ def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
             loads1[int(r.new)] = loads1.get(int(r.new), 0.0) + float(r.d)
         for r in flow.groupBy("old").agg(F.sum("deg").alias("d")).collect():
             loads1[int(r.old)] = loads1.get(int(r.old), 0.0) - float(r.d)
-        swaps = _exchange_pass(
-            spark, cand.join(flow.select("vid"), "vid", "left_anti"),
-            loads1, capacity, k,
-        )
+        blocked = cand.join(flow.select("vid"), "vid", "left_anti")
+        # early-out: when the flow pass admitted everyone, skip the
+        # exchange machinery entirely (checkpoint + pair collect saved —
+        # the common case once partitions have headroom)
+        if blocked.limit(1).count() == 0:
+            swaps = flow.select("vid", "new").limit(0).localCheckpoint(
+                eager=True
+            )
+        else:
+            swaps = _exchange_pass(spark, blocked, loads1, capacity, k)
         admitted = (
             flow.select("vid", F.col("new").alias("part2"))
             .union(swaps.select("vid", F.col("new").alias("part2")))
