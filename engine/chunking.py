@@ -46,9 +46,14 @@ def chunk_documents(
             f"chunk_documents: stride must be in [1, size], got {stride} "
             f"(stride > size would drop the tokens between windows)"
         )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # strip ALL leading/trailing whitespace before splitting: Spark's
+    # trim() removes only ASCII spaces, and split() keeps the resulting
+    # leading/trailing empty strings — a doc ending in '\n' would grow a
+    # phantom empty token and a garbage chunk (code-review r4, confirmed)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(stripped, r"\s+")
     n = F.when(
-        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+        F.col(text_col).isNull() | (stripped == ""), F.lit(0)
     ).otherwise(F.size(toks))
     # last start = smallest stride multiple >= n - size (0 when n <= size)
     last = F.greatest(
@@ -63,10 +68,10 @@ def chunk_documents(
     )
     out = docs.select(
         "*",
-        F.posexplode_outer(starts).alias("chunk_id", "chunk_start"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
         toks.alias("_toks"),
         n.alias("_n"),
-    ).filter(F.col("chunk_start").isNotNull())
+    )
     window = F.slice(
         F.col("_toks"),
         F.col("chunk_start") + 1,

@@ -18,9 +18,14 @@ blocks are released — the funnel count is a scan of real rows and each
 downstream stage plans against a flat leaf instead of the whole upstream
 expression stack (lang-ID alone is a ~1000-node codegen tree; without
 the cut, every later action re-optimizes and re-executes all of it).
-The RETURNED DataFrame is then a caller-owned checkpoint: unpersist it
-when retired. ``collect_stats=False`` runs the whole pipeline as one
-lazy plan with zero extra actions and zero materialization. The dedup
+The RETURNED DataFrame is then a caller-owned checkpoint whose blocks
+live until the reference is dropped (ContextCleaner reclaims on GC —
+the dedup._seal lifetime contract; unpersist() is a no-op on
+checkpoints). ``collect_stats=False`` adds no per-stage actions or
+checkpoints of its own — but the call is still not fully lazy: the
+MinHash stage internally persists/checkpoints its signature table
+(dedup._seal) and near-dup clustering runs the iterative
+connected-components loop, both eager by design. The dedup
 joins are left-semi/anti against O(duplicates) key sets either way.
 """
 
@@ -67,15 +72,20 @@ def curate_corpus(
         # tree. Without this, each later count() re-optimizes and
         # re-executes an ever-deeper stack of wide codegen projections
         # (lang-ID alone is a ~1000-node expression): measured 27 min ->
-        # ~2 min on the test corpus. The returned DataFrame of the LAST
-        # stage is therefore a caller-owned checkpoint — unpersist it when
-        # retired. With collect_stats=False nothing materializes.
+        # ~6 min on the test suite. The LAST stage's checkpoint belongs
+        # to the caller (blocks free when the reference drops). With
+        # collect_stats=False this function adds no materialization.
         if not collect_stats:
             return df
         df = df.localCheckpoint(eager=True)
         funnel[name] = df.count()
         if prev_ck:
-            prev_ck.pop().unpersist()
+            # Dropping the reference is the release: unpersist() is a
+            # no-op on a localCheckpoint'ed Dataset (CacheManager never
+            # registered the checkpoint RDD) — ContextCleaner reclaims
+            # the blocks once the previous stage's DataFrame is GC'd,
+            # the same lifetime contract as dedup._seal.
+            prev_ck.pop()
         prev_ck.append(df)
         return df
 

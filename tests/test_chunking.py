@@ -89,3 +89,26 @@ def test_validation(spark):
         chunk_documents(d, size=4, stride=5)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(d, size=4, stride=0)
+
+
+def test_whitespace_edges_match_oracle(spark):
+    # tabs/newlines at document edges must not create phantom empty
+    # tokens or garbage chunks (code-review r4, confirmed divergence)
+    texts = [
+        "hello world\n",
+        "\tleading tab here",
+        "\n\t",
+        "a\tb\nc  d",
+        "  spaced  out  ",
+    ]
+    for size, stride in [(2, 2), (3, 1)]:
+        rows = chunk_documents(_docs(spark, texts), size, stride).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_start, r.chunk_text)
+            )
+        for i, t in enumerate(texts):
+            assert sorted(got.get(i, [])) == _oracle(t, size, stride), (
+                i, size, stride,
+            )

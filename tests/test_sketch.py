@@ -177,7 +177,7 @@ def test_cms_folds_across_stream_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in 300s"
     want = cms_build(spark.read.parquet(feed), "key", depth=4, width=256)
     got_cells = {(r.d, r.b): float(r.cnt) for r in folded["sk"].cells.collect()}
     want_cells = {(r.d, r.b): float(r.cnt) for r in want.cells.collect()}
