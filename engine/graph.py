@@ -253,6 +253,39 @@ def load_edges_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table).select("src", "dst", "rel", "weight")
 
 
+def project_bipartite(
+    edges: DataFrame,
+    on: str = "src",
+    cap: int | None = None,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """(a, b, weight) — the weighted one-mode projection of a bipartite
+    edge table onto its ``on`` side: a and b are connected with weight =
+    number of shared neighbors on the other side
+    (``networkx.bipartite.weighted_projected_graph`` semantics, public).
+    Verum's repo<->repo co-occurrence IS this projection specialized to
+    (content_hash, repo); this operator exposes the same capped machinery
+    (engine/derive.py cooccur_pairs — per-group cap applied BEFORE the
+    pair explode, dropped groups counted and logged, never silent) for
+    any bipartite relation (user<->item, doc<->term, host<->resource).
+
+    ``cap``: max group size on the other side (default: derive's
+    COOCCUR_CAP); a hub neighbor shared by m vertices would otherwise
+    explode into m^2/2 pairs.
+    """
+    from engine.derive import COOCCUR_CAP, cooccur_pairs
+
+    if on not in ("src", "dst"):
+        raise ValueError(f"project_bipartite: on must be src|dst, got {on!r}")
+    other = "dst" if on == "src" else "src"
+    membership = edges.select(
+        F.col(other).alias("content_hash"), F.col(on).alias("repo")
+    ).distinct()
+    return cooccur_pairs(
+        membership, cap if cap is not None else COOCCUR_CAP, log_dropped
+    )
+
+
 def save_edges_locality(
     edges: DataFrame, assignment: DataFrame, path: str
 ) -> None:
