@@ -76,7 +76,7 @@ class PartitionResult:
     k: int
     rounds: int
     converged: bool
-    cut_history: list[int]
+    cut_history: list[float]  # weighted; == edge counts when unweighted
     loads: dict[int, float]
     capacity: float
 
@@ -90,6 +90,8 @@ def partition_graph(
     min_gain: float = 1e-9,
     max_rounds: int = 30,
     track_cut: bool = True,
+    weight_col: str | None = None,
+    initial_assignment: DataFrame | None = None,
 ) -> PartitionResult:
     """Balanced k-way partition of the undirected view of ``edges``.
 
@@ -102,43 +104,77 @@ def partition_graph(
     O(E) join-count per round — reporting, not part of the algorithm;
     disable at scale and read the final cut from ``cut_history[-1]``,
     which is always measured).
+    ``weight_col``: edge weights for locality, degree mass, capacity and
+    cut (default: every edge weighs 1 — multiplicity semantics).
+    ``initial_assignment``: (vid, part) warm start — the multilevel path
+    projects a coarse partition down through this; vertices missing from
+    it fall back to the hash init, out-of-range parts raise. A warm
+    start that violates capacity is drained (enforcement is inflow-side)
+    but the hard bound then only holds from the first compliant round.
     """
     if k < 2:
         raise ValueError(f"partition_graph: k must be >= 2, got {k}")
     with iterative_conf(spark):
         return _spinner(
-            spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut
+            spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut,
+            weight_col, initial_assignment,
         )
 
 
-def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
+def _spinner(
+    spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut,
+    weight_col, initial_assignment,
+):
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Undirected multigraph view: both orientations, self-loops dropped.
     # Parallel edges KEPT — Spinner's score weights a neighbor by edge
-    # multiplicity, and the histogram count does exactly that for free.
-    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # multiplicity (or the explicit weight), and the weighted histogram
+    # does exactly that for free.
+    wexpr = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    fwd = edges.select("src", "dst", wexpr.alias("w")).filter(
+        F.col("src") != F.col("dst")
+    )
     und = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        fwd.union(
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
         .repartition(P, "src")
         .localCheckpoint(eager=True)
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    total_deg = und.count()  # == sum(deg)
+    deg = und.groupBy("src").agg(F.sum("w").alias("deg"))
+    total_deg = float(und.agg(F.sum("w")).collect()[0][0] or 0.0)
     if total_deg == 0:
         und.unpersist()
         raise ValueError("partition_graph: no non-loop edges")
     capacity = (1.0 + slack) * total_deg / k
 
-    # Initial assignment: hash — balanced up to variance, locality-free.
-    labels = fresh_checkpoint(
-        deg.select(
-            F.col("src").alias("vid"),
-            F.pmod(F.xxhash64("src"), F.lit(k)).cast("int").alias("part"),
-            "deg",
-        ).repartition(P, "vid")
-    )
+    # Initial assignment: warm start when given (missing vids -> hash),
+    # else hash — balanced up to variance, locality-free.
+    hash_part = F.pmod(F.xxhash64("vid"), F.lit(k)).cast("int")
+    base = deg.select(F.col("src").alias("vid"), "deg")
+    if initial_assignment is not None:
+        init = initial_assignment.select(
+            "vid", F.col("part").cast("int").alias("init_part")
+        )
+        bad = init.filter(
+            (F.col("init_part") < 0) | (F.col("init_part") >= k)
+        ).limit(1).count()
+        if bad:
+            und.unpersist()
+            raise ValueError(
+                f"partition_graph: initial_assignment has parts outside "
+                f"[0, {k})"
+            )
+        start = base.join(init, "vid", "left").select(
+            "vid", F.coalesce("init_part", hash_part).alias("part"), "deg"
+        )
+    else:
+        start = base.select("vid", hash_part.alias("part"), "deg")
+    labels = fresh_checkpoint(start.repartition(P, "vid"))
 
-    cut_history: list[int] = []
+    cut_history: list[float]  # weighted; == edge counts when unweighted = []
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -149,7 +185,7 @@ def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
                 "dst",
             )
             .groupBy(F.col("src").alias("vid"), F.col("np"))
-            .agg(F.count(F.lit(1)).alias("w"))
+            .agg(F.sum("w").alias("w"))
         )
         # k partition loads -> driver (k scalars), back as a broadcast row.
         load_rows = (
@@ -300,9 +336,7 @@ def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
         flow.unpersist()
         swaps.unpersist()
         if track_cut:
-            # und carries both orientations, so edge_cut counts each
-            # discordant undirected edge twice
-            cut_history.append(edge_cut(und, labels.select("vid", "part")) // 2)
+            cut_history.append(_wcut(und, labels))
     final_loads = {
         int(r.part): float(r.load)
         for r in labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
@@ -310,7 +344,7 @@ def _spinner(spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut):
     if not cut_history:
         # track_cut=False, or round-1 convergence broke before any append:
         # the final cut is always measured (the docstring promises [-1])
-        cut_history.append(edge_cut(und, labels.select("vid", "part")) // 2)
+        cut_history.append(_wcut(und, labels))
     und.unpersist()
     return PartitionResult(
         assignment=labels.select("vid", "part"),
@@ -415,6 +449,78 @@ def _exchange_pass(spark, blocked, loads1, capacity, k):
     out = moves.localCheckpoint(eager=True)
     ranked.unpersist()
     return out
+
+
+def _wcut(und, labels) -> float:
+    """Weighted undirected cut from the both-orientations view (each
+    discordant undirected edge appears twice -> /2)."""
+    tot = (
+        und.join(
+            labels.select(F.col("vid").alias("src"), F.col("part").alias("ps")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("vid").alias("dst"), F.col("part").alias("pd")),
+            "dst",
+        )
+        .filter(F.col("ps") != F.col("pd"))
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    )
+    return float(tot or 0.0) / 2
+
+
+def partition_graph_multilevel(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    levels: int = 2,
+    coarse_rounds: int = 30,
+    refine_rounds: int = 6,
+    weight_col: str | None = None,
+    **kwargs,
+) -> PartitionResult:
+    """METIS-style multilevel partitioning: coarsen ``levels`` matchings
+    (engine/algos/coarsen.py), run the full Spinner loop on the coarse
+    WEIGHTED graph (a fraction of the vertices — the locality structure
+    is decided cheaply there), project labels down through the composed
+    vertex map, then refine on the full graph for ``refine_rounds``
+    warm-started rounds. Public scheme: Karypis & Kumar 1998 (METIS);
+    the refinement is partition_graph's own gated LPA instead of KL/FM.
+
+    Same result contract as :func:`partition_graph` — the returned
+    rounds/cut_history/converged describe the REFINEMENT stage.
+    """
+    from engine.algos.coarsen import coarsen_graph
+
+    cg = coarsen_graph(spark, edges, levels=levels, weight_col=weight_col)
+    try:
+        if cg.levels_done == 0:
+            return partition_graph(
+                spark, edges, k, max_rounds=refine_rounds,
+                weight_col=weight_col, **kwargs,
+            )
+        coarse = partition_graph(
+            spark, cg.edges, k, max_rounds=coarse_rounds,
+            weight_col="weight", track_cut=False, **kwargs,
+        )
+        init = (
+            cg.vertex_map.join(
+                coarse.assignment.withColumnRenamed("vid", "cvid"), "cvid"
+            )
+            .select("vid", "part")
+            .localCheckpoint(eager=True)
+        )
+        coarse.assignment.unpersist()
+        fine = partition_graph(
+            spark, edges, k, max_rounds=refine_rounds,
+            weight_col=weight_col, initial_assignment=init, **kwargs,
+        )
+        init.unpersist()
+        return fine
+    finally:
+        cg.edges.unpersist()
+        cg.vertex_map.unpersist()
 
 
 def edge_cut(edges: DataFrame, assignment: DataFrame) -> int:

@@ -110,3 +110,49 @@ def test_round1_convergence_still_reports_final_cut(spark):
     assert res.cut_history, "final cut must always be measured"
     assert res.cut_history[-1] == edge_cut(df, res.assignment)
     res.assignment.unpersist()
+
+
+def test_weighted_capacity_and_cut(spark):
+    # heavy edge pair must dominate the degree mass and the cut metric
+    pairs = [(0, 1, 10.0), (2, 3, 10.0), (0, 2, 1.0), (1, 3, 1.0)]
+    df = edges_df(spark, pairs)
+    res = partition_graph(spark, df, k=2, weight_col="weight", slack=0.3)
+    # capacity uses the weighted total degree (2 * 22 mass)
+    assert res.capacity == pytest.approx(1.3 * 2 * 22.0 / 2)
+    asg = {r.vid: r.part for r in res.assignment.collect()}
+    # optimum splits the two heavy pairs apart (cut = the two light edges)
+    assert asg[0] == asg[1] and asg[2] == asg[3] and asg[0] != asg[2]
+    assert res.cut_history[-1] == pytest.approx(2.0)
+    res.assignment.unpersist()
+
+
+def test_warm_start_fixpoint_and_validation(spark):
+    pairs = _clique_pair(8)
+    df = edges_df(spark, pairs)
+    perfect = spark.createDataFrame(
+        [(v, 0) for v in range(8)] + [(100 + v, 1) for v in range(8)],
+        "vid long, part int",
+    )
+    res = partition_graph(spark, df, k=2, initial_assignment=perfect)
+    assert res.converged and res.rounds == 1  # nothing wants to move
+    assert res.cut_history[-1] == 1
+    res.assignment.unpersist()
+    bad = spark.createDataFrame([(0, 7)], "vid long, part int")
+    with pytest.raises(ValueError, match="outside"):
+        partition_graph(spark, df, k=2, initial_assignment=bad)
+
+
+def test_multilevel_quality_and_balance(spark):
+    import networkx as nx
+
+    from engine.algos.partition import partition_graph_multilevel
+
+    g = nx.planted_partition_graph(4, 25, 0.4, 0.01, seed=31)
+    df = edges_df(spark, list(g.edges()))
+    res = partition_graph_multilevel(spark, df, k=4, levels=2, slack=0.1)
+    for load in res.loads.values():
+        assert load <= res.capacity + 1e-9
+    base = _hash_cut(spark, df, 4)
+    assert res.cut_history[-1] < base
+    assert res.cut_history[-1] == edge_cut(df, res.assignment)
+    res.assignment.unpersist()
