@@ -174,7 +174,7 @@ def _spinner(
         start = base.select("vid", hash_part.alias("part"), "deg")
     labels = fresh_checkpoint(start.repartition(P, "vid"))
 
-    cut_history: list[float]  # weighted; == edge counts when unweighted = []
+    cut_history: list[float] = []  # weighted; == edge counts when unweighted
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
