@@ -500,9 +500,13 @@ def partition_graph_multilevel(
                 spark, edges, k, max_rounds=refine_rounds,
                 weight_col=weight_col, **kwargs,
             )
+        # Cut tracking is pointless on the throwaway coarse solve (its cut
+        # is in contracted-weight units); force it off while still letting
+        # callers pass track_cut for the refinement stage.
+        coarse_kwargs = {**kwargs, "track_cut": False}
         coarse = partition_graph(
             spark, cg.edges, k, max_rounds=coarse_rounds,
-            weight_col="weight", track_cut=False, **kwargs,
+            weight_col="weight", **coarse_kwargs,
         )
         init = (
             cg.vertex_map.join(
