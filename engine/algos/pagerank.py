@@ -529,6 +529,8 @@ def pagerank_delta(
     initial_ranks: DataFrame | None = None,
     frontier_c: float = 0.8,
     broadcast_state: bool | None = None,
+    tail_c: float | None = 0.25,
+    tail_trigger_frac: float = 0.125,
 ) -> PageRankResult:
     """Frontier-filtered (push/residual) PageRank — same fixpoint as
     ``pagerank``, but each round gathers only from the vertices whose
@@ -590,22 +592,46 @@ def pagerank_delta(
     the graph update actually disturbed carry mass — the natural partner
     of ``engine.incremental``'s daily folds.
 
+    **Adaptive tail schedule** (``tail_c``, VERDICT r4 item 4): a high c
+    maximizes gather reduction but converges at the slow guaranteed rate
+    (1 - (1-alpha)(1-c) per round) — at bench scale the long tail of tiny
+    rounds is then dominated by the fixed per-job floor, and the r4 bench
+    measured the c=0.8 run SLOWER than dense (148 rounds vs 71 iters)
+    despite gathering 2.11x fewer edges. So once the frontier has shrunk
+    below ``tail_trigger_frac * E`` (the same point at which bucket scan
+    pruning makes per-round gathers cheap), the schedule drops c to
+    ``tail_c``: tail rounds push more of the remaining mass each (rate
+    >= 1 - (1-alpha)(1-tail_c), near-dense at 0.25) so the tail takes
+    ~3x fewer rounds, while the early rounds — where E-sized gathers are
+    the real cost — keep the aggressive filter. Activation choice never
+    affects the fixpoint (see above), so this is pure scheduling: the
+    1e-9 dense-equality test holds for any (frontier_c, tail_c).
+    ``tail_c=None`` pins c to ``frontier_c`` for the whole run (the
+    pre-r5 schedule). At true cluster scale the job floor is noise and a
+    large E makes gather reduction dominate — set ``tail_c`` closer to
+    ``frontier_c`` there; the crossover is measured in
+    tools/scaling_bench.py.
+
     Returns ``PageRankResult``; ``metrics`` rows carry ``frontier_edges``
-    per round and ``edges_gathered`` holds the run total (the dense
-    equivalent is iterations * n_edges).
+    and the effective ``c`` per round; ``edges_gathered`` holds the run
+    total (the dense equivalent is iterations * n_edges).
     """
     if not (0.0 <= frontier_c < 1.0):
         raise ValueError(f"frontier_c must be in [0, 1), got {frontier_c}")
+    if tail_c is not None and not (0.0 <= tail_c < 1.0):
+        raise ValueError(f"tail_c must be in [0, 1) or None, got {tail_c}")
     with iterative_conf(spark):
         return _delta_loop(
             spark, edges, vertices, alpha, tol, max_iter, weighted,
             personalization, initial_ranks, frontier_c, broadcast_state,
+            tail_c, tail_trigger_frac,
         )
 
 
 def _delta_loop(
     spark, edges, vertices, alpha, tol, max_iter, weighted,
     personalization, initial_ranks, frontier_c, broadcast_state,
+    tail_c=None, tail_trigger_frac=0.125,
 ):
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     norm, out_vids, _ = _prepare_edges(edges, weighted, None, 16, P)
@@ -730,6 +756,18 @@ def _delta_loop(
     converged = False
     total_gathered = 0
     last_gathered: int | None = None
+    next_bkts: list[int] | None = None
+    # Next-round bucket pruning bar (observed for free in each round's
+    # job, replacing the r4 shape's extra collect job per tail round).
+    # The bar must sit AT OR BELOW the next round's activation threshold
+    # for the observed bucket set to cover the frontier; conversely the
+    # next round's effective threshold is clamped UP to the bar
+    # (activation choice never affects the fixpoint, so the clamp is
+    # exact — it can only delay mass, and only in the rare round where
+    # the residual mass collapses more than 4x at once; the bar then
+    # recalibrates off the new mass, so a stall never persists).
+    c_min = frontier_c if tail_c is None else min(frontier_c, tail_c)
+    bkt_bar = 0.0
     metrics: list[dict[str, Any]] = []
     rounds = 0
     while rounds < max_iter:
@@ -743,32 +781,48 @@ def _delta_loop(
         # (the geometric guarantee); a vertex's bar to push scales with
         # how many edges its push costs. odeg=0 (dangling) => bar 0: their
         # push feeds only the scalar D and gathers nothing.
-        theta = frontier_c * (R + abs(D)) / max(n_edges, 1)
+        # Adaptive tail: once the frontier is small (same trigger family
+        # as bucket pruning), drop c so tail rounds push near-dense
+        # fractions of the remaining mass — ~3x fewer job-floor-priced
+        # rounds for gathers that are cheap there anyway (see docstring).
+        c_r = frontier_c
+        if (
+            tail_c is not None
+            and last_gathered is not None
+            and last_gathered < n_edges * tail_trigger_frac
+        ):
+            c_r = min(frontier_c, tail_c)
+        theta = max(c_r * (R + abs(D)) / max(n_edges, 1), bkt_bar)
         active = F.abs(F.col("resid")) > theta * F.col("odeg")
+        # Bar for the NEXT round's pruning superset, observed below: a
+        # conservative prediction of next round's threshold — c_min times
+        # a quarter of the current mass (mass rarely contracts 4x in one
+        # round; floored at the stopping mass, under which the loop ends).
+        bkt_bar = c_min * max(stop, 0.25 * (R + abs(D))) / max(n_edges, 1)
         src_side = state.filter(active).select(
             F.col("vid").alias("src"), F.col("resid").alias("r")
         )
         # Tail-round scan pruning: once the previous round's frontier shrank
-        # below 1/8 of E, spend one tiny job collecting the frontier's
-        # bucket list and filter the edge scan to those buckets — the
-        # in-memory scan skips every other partition via batch stats. The
-        # O(V) state scan this extra job costs is far below the O(E) probe
-        # it saves; early full-frontier rounds skip it (the list would be
-        # all P buckets).
+        # below 1/8 of E, filter the edge scan to the frontier's bucket
+        # list — the in-memory scan skips every other partition via batch
+        # stats. The list is a SUPERSET observed for free during the
+        # PREVIOUS round's job (see the staged observe below): any active
+        # vertex must clear theta*odeg = c*(R+|D|)*odeg/m > c_min*stop*
+        # odeg/m while the loop is running, so buckets of vertices above
+        # that literal bar cover every possible frontier — no extra
+        # collect job (the r4 shape spent one per tail round).
         edge_side = norm
         pruned_buckets = None
-        if last_gathered is not None and last_gathered < n_edges // 8:
-            bkts = [
-                r[0]
-                for r in src_side.select(
-                    F.pmod(F.hash("src"), F.lit(K)).alias("b")
-                ).distinct().collect()
-            ]
+        if (
+            next_bkts is not None
+            and last_gathered is not None
+            and last_gathered < n_edges // 8
             # engage only when the frontier covers a minority of buckets
             # (a near-full IN-list would cost codegen for no skipped batch)
-            if len(bkts) * 4 <= K:
-                edge_side = norm.filter(F.col("bkt").isin(bkts))
-                pruned_buckets = len(bkts)
+            and len(next_bkts) * 4 <= K
+        ):
+            edge_side = norm.filter(F.col("bkt").isin(next_bkts))
+            pruned_buckets = len(next_bkts)
         gobs = Observation(f"prd_g_{rounds}")
         gathered = edge_side.join(bcast(src_side), "src").observe(
             gobs, F.count(F.lit(1)).alias("gathered")
@@ -799,6 +853,16 @@ def _delta_loop(
                 obs,
                 F.sum(F.abs(F.col("resid"))).alias("R"),
                 F.sum("dpush").alias("dp"),
+                # Next round's pruning superset, observed for free in this
+                # same job: buckets of every vertex that can clear the
+                # predicted next-round bar (the next threshold is clamped
+                # up to this bar, so coverage is exact by construction).
+                F.collect_set(
+                    F.when(
+                        F.abs(F.col("resid")) > F.lit(bkt_bar) * F.col("odeg"),
+                        F.pmod(F.hash("vid"), F.lit(K)),
+                    )
+                ).alias("nbkts"),
             )
             .select("vid", "p", "dang", "odeg", "value", "resid")
         )
@@ -806,6 +870,7 @@ def _delta_loop(
         vals = obs.get
         R = float(vals["R"] or 0.0)
         D = alpha * float(vals["dp"] or 0.0)
+        next_bkts = list(vals["nbkts"] or [])
         g = int(gobs.get["gathered"] or 0)
         total_gathered += g
         last_gathered = g
@@ -818,6 +883,7 @@ def _delta_loop(
             "edges_per_s": g / wall if wall > 0 else None,
             "n_edges": n_edges,
             "n_vertices": n,
+            "c": c_r,
         }
         if pruned_buckets is not None:
             m["pruned_buckets"] = pruned_buckets

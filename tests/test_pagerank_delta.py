@@ -124,3 +124,66 @@ def test_invalid_frontier_c(spark):
         pagerank_delta(spark, e, frontier_c=1.0)
     with pytest.raises(ValueError):
         pagerank_delta(spark, e, frontier_c=-0.1)
+
+
+def test_adaptive_tail_same_fixpoint(spark):
+    """The adaptive tail schedule (c drops to tail_c once the frontier is
+    small — VERDICT r4 item 4) is pure scheduling: the push invariant is
+    activation-independent, so the fixpoint must equal the dense loop's
+    and the pinned-c run's exactly, while taking no MORE rounds than the
+    pinned-c schedule."""
+    v = vertices_df(spark, VIDS)
+    e = edges_df(spark, PAIRS)
+    dense = pagerank(spark, e, vertices=v, alpha=0.5, tol=1e-12, max_iter=300)
+    pinned = pagerank_delta(
+        spark, e, vertices=v, alpha=0.5, tol=1e-10, max_iter=600,
+        tail_c=None,
+    )
+    adaptive = pagerank_delta(
+        spark, e, vertices=v, alpha=0.5, tol=1e-10, max_iter=600,
+        tail_c=0.0, tail_trigger_frac=10.0,  # force tail mode from round 2
+    )
+    assert pinned.converged and adaptive.converged
+    _assert_same(_ranks(dense), _ranks(adaptive))
+    _assert_same(_ranks(pinned), _ranks(adaptive))
+    assert adaptive.iterations <= pinned.iterations
+    # the schedule switch is recorded per round
+    assert adaptive.metrics[0]["c"] == 0.8  # round 1 has no frontier signal
+    assert all(m["c"] == 0.0 for m in adaptive.metrics[1:])
+    # accounting still balances under the adaptive schedule
+    assert adaptive.edges_gathered == sum(
+        m["frontier_edges"] for m in adaptive.metrics
+    )
+    assert len(adaptive.metrics) == adaptive.iterations
+
+
+def test_adaptive_tail_personalized_and_warm(spark):
+    """tail_c composes with personalization and warm starts."""
+    v = vertices_df(spark, VIDS)
+    e = edges_df(spark, PAIRS)
+    pers = spark.createDataFrame([(0, 1.0), (5, 3.0)], "vid long, mass double")
+    dense = pagerank(
+        spark, e, vertices=v, alpha=0.5, tol=1e-12, max_iter=300,
+        personalization=pers,
+    )
+    adaptive = pagerank_delta(
+        spark, e, vertices=v, alpha=0.5, tol=1e-10, max_iter=600,
+        personalization=pers, tail_c=0.2, tail_trigger_frac=10.0,
+    )
+    assert adaptive.converged
+    _assert_same(_ranks(dense), _ranks(adaptive))
+    warm = pagerank_delta(
+        spark, e, vertices=v, alpha=0.5, tol=1e-10, max_iter=600,
+        personalization=pers, initial_ranks=dense.ranks,
+        tail_c=0.2, tail_trigger_frac=10.0,
+    )
+    assert warm.converged
+    _assert_same(_ranks(dense), _ranks(warm))
+
+
+def test_invalid_tail_c(spark):
+    e = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        pagerank_delta(spark, e, tail_c=1.0)
+    with pytest.raises(ValueError):
+        pagerank_delta(spark, e, tail_c=-0.5)
