@@ -197,10 +197,28 @@ def _q_pricing_summary(spark, sf):
 
 
 def _q_collect(spark, sf):
+    """a4: collect_set surface AND the A5 HLL++ sketched-distinct surface
+    in one union result — the former a4/a5 rows merged (r5, same
+    consolidation precedent as w2/u2/f2) to free a 50-window slot for
+    g16_modularity."""
     d = _tbl(spark, sf, "documents")
-    return d.groupBy("lang").agg(
+    c4 = d.groupBy("lang").agg(
         F.size(F.sort_array(F.collect_set("source"))).alias("n_sources")
+    ).select(
+        F.lit("collect").alias("op"),
+        F.col("lang").alias("key"),
+        F.col("n_sources").cast("long").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+        F.lit(True).alias("ok"),
     )
+    c5 = T.corpus_stats(d).select(
+        F.lit("hll").alias("op"),
+        F.col("source").alias("key"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("exact_uniq").cast("long").alias("n2"),
+        F.col("approx_ok").alias("ok"),
+    )
+    return c4.unionByName(c5)
 
 
 def _q_cube(spark, sf):
@@ -396,6 +414,38 @@ def _q_g_density(spark, sf):
             F.round("adamic_adar", 6).alias("adamic_adar"),
             "core_a", "core_b",
         )
+    )
+
+
+def _q_g_modularity(spark, sf):
+    """g16: the modularity machinery (engine/algos/lpa.py — the quality
+    functional Louvain maximizes and LPA is scored by) witnessed
+    value-level: per-community intra-edge and degree-mass INTEGERS of the
+    vtype partition over the undirected simple view of the derived doc
+    graph. Q itself is the exact rational (sum l_c)/m - (sum deg_c^2)/4m^2
+    of these rows, so integer equality here is stronger than comparing
+    the float."""
+    from engine.algos.lpa import community_edge_stats
+
+    v, e = _graph(spark, sf)
+    labels = v.select("vid", F.col("vtype").alias("label"))
+    return community_edge_stats(spark, e, labels)
+
+
+def _q_g_shape(spark, sf):
+    """g17: directed-graph shape statistics (engine/graph.py reciprocity +
+    density — the Verum report surface's graph summary): each is ONE IEEE
+    double division of exact integer counts, identical bit-for-bit in
+    DuckDB, so no rounding is needed."""
+    from engine.graph import graph_density, reciprocity
+
+    _, e = _graph(spark, sf)
+    rec = reciprocity(e)
+    dd = graph_density(e, directed=True)
+    du = graph_density(e, directed=False)
+    return spark.createDataFrame(
+        [(rec, dd, du)],
+        "reciprocity double, density_directed double, density_undirected double",
     )
 
 
@@ -639,21 +689,20 @@ def _q_j7_range(spark, sf):
     )
 
 
-def _q_a_approx_distinct(spark, sf):
-    """A5: HLL++ sketched unique-content counts per source (corpus stats)."""
-    return T.corpus_stats(_tbl(spark, sf, "documents"))
-
-
 def _q_s_ann_topk(spark, sf):
+    """s1: brute-force cosine top-k AND the SRP-bucketed ANN top-k in one
+    union result — the former s1/s2 rows merged (r5; both share the exact
+    double-fold rerank, so the oracle is the two mirrors stacked) to free
+    a 50-window slot for g17_graph_shape."""
     emb = _tbl(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.cosine_topk(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
-
-
-def _q_s_srp_topk(spark, sf):
-    emb = _tbl(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return S.srp_topk(emb, queries, k=5, dim=64).select("query_id", "rank", "neighbor_id")
+    brute = S.cosine_topk(emb, queries, k=5).select(
+        F.lit("brute").alias("method"), "query_id", "rank", "neighbor_id"
+    )
+    srp = S.srp_topk(emb, queries, k=5, dim=64).select(
+        F.lit("srp").alias("method"), "query_id", "rank", "neighbor_id"
+    )
+    return brute.unionByName(srp)
 
 
 def _q_s_ivf_topk(spark, sf):
@@ -779,7 +828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the group rows now witness exact_dedup's survivors directly) to make
     room for d7 (transitive dedup clustering via CC over the d3 pair
     graph), and m1 merged into m3 (r4 — one multimodal row carries the
-    whole surface) to make room for g15 (PPR sweep-cut curve)."""
+    whole surface) to make room for g15 (PPR sweep-cut curve). r5 window
+    rotation (VERDICT r4 item 8): a5 merged into a4 and s2 into s1 (both
+    pairs share a scan/rerank), freeing slots for two previously
+    pytest-only families — g16 (modularity machinery) and g17
+    (reciprocity/density graph shape)."""
     return {
         # B.2 projection / filter / scalar functions
         "p2_filter": _q_filter,
@@ -796,7 +849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # B.4 aggregations
         "a1_pricing_summary": _q_pricing_summary,
         "a4_collect": _q_collect,
-        "a5_approx_distinct": _q_a_approx_distinct,
         "a6_cube": _q_cube,
         # B.5 windows / top-k
         "w2_rank_topk": _q_rank_topk,
@@ -822,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_scc": _q_g_scc,
         "g14_topo_layers": _q_g_topo,
         "g15_ppr_sweep": _q_g_ppr_sweep,
+        "g16_modularity": _q_g_modularity,
+        "g17_graph_shape": _q_g_shape,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -837,7 +891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_paragraph_dedup": _q_d_paragraph_dedup,
         # similarity
         "s1_ann_topk": _q_s_ann_topk,
-        "s2_srp_topk": _q_s_srp_topk,
         "s3_ivf_topk": _q_s_ivf_topk,
         # multimodal (m1+m2 merged into m3 in r4 — slot freed for g15)
         "m3_decode_stub": _q_m_decode,
@@ -1375,16 +1428,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY 1, 2"
         ),
+        # a4 = collect_set row family + the former a5 HLL++ family stacked
+        # (r5 merge). exact counts are value-verified; ok = TRUE mirrors
+        # the Spark-side tolerance assertion on the (deterministic) HLL++
+        # sketch.
         "a4_collect": (
-            "SELECT lang, count(DISTINCT source) AS n_sources "
-            "FROM documents GROUP BY 1"
-        ),
-        # A5: exact_uniq is value-verified; approx_ok = TRUE mirrors the
-        # Spark-side tolerance assertion on the (deterministic) HLL++ sketch.
-        "a5_approx_distinct": (
-            "SELECT source, count(*) AS n_docs, "
-            "count(DISTINCT sha256(text)) AS exact_uniq, TRUE AS approx_ok "
-            "FROM documents GROUP BY 1"
+            "SELECT 'collect' AS op, lang AS key, "
+            "count(DISTINCT source) AS n1, CAST(0 AS BIGINT) AS n2, "
+            "TRUE AS ok FROM documents GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'hll', source, count(*), "
+            "count(DISTINCT sha256(text)), TRUE FROM documents GROUP BY 2"
         ),
         "a6_cube": (
             "SELECT coalesce(lang, 'ALL') AS lang_g, "
@@ -1642,6 +1696,58 @@ def oracle_sql() -> dict[str, str]:
         # (self-loops dropped, parallel edges collapsed — graph.symmetrize);
         # an edge is cut by prefix k iff exactly one endpoint ranks <= k,
         # so cut(k) = running(#min-rank<=k) - running(#max-rank<=k).
+        # g16: per-community modularity ingredients of the vtype partition
+        # — undirected simple view, label = name prefix (== vertex vtype).
+        "g16_modularity": f"""
+            WITH e AS ({edges_sql}), und AS (
+                SELECT DISTINCT least(src_name, dst_name) AS a,
+                       greatest(src_name, dst_name) AS b
+                FROM e WHERE src_name <> dst_name
+            ), tagged AS (
+                SELECT split_part(a, ':', 1) AS la,
+                       split_part(b, ':', 1) AS lb
+                FROM und
+            ), deg AS (
+                SELECT label, count(*) AS deg_c FROM (
+                    SELECT la AS label FROM tagged
+                    UNION ALL SELECT lb FROM tagged
+                ) GROUP BY 1
+            ), intra AS (
+                SELECT la AS label, count(*) AS l_c FROM tagged
+                WHERE la = lb GROUP BY 1
+            )
+            SELECT deg.label, coalesce(intra.l_c, 0) AS l_c, deg.deg_c
+            FROM deg LEFT JOIN intra USING (label)
+        """,
+        # g17: reciprocity + densities — each a single IEEE double division
+        # of exact integer counts, bit-identical across engines.
+        "g17_graph_shape": f"""
+            WITH e AS ({edges_sql}), simple AS (
+                SELECT DISTINCT src_name AS s, dst_name AS d
+                FROM e WHERE src_name <> dst_name
+            ), nv AS (
+                SELECT count(*) AS n FROM (
+                    SELECT s AS x FROM simple UNION SELECT d FROM simple
+                )
+            ), cnts AS (
+                SELECT count(*) AS m,
+                       sum(CASE WHEN EXISTS (
+                           SELECT 1 FROM simple b
+                           WHERE b.s = a.d AND b.d = a.s
+                       ) THEN 1 ELSE 0 END) AS mu
+                FROM simple a
+            ), um AS (
+                SELECT count(*) AS um FROM (
+                    SELECT DISTINCT least(s, d), greatest(s, d) FROM simple
+                )
+            )
+            SELECT CAST(mu AS DOUBLE) / m AS reciprocity,
+                   CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+                       AS density_directed,
+                   CAST(um AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2)
+                       AS density_undirected
+            FROM cnts, nv, um
+        """,
         "g15_ppr_sweep": f"""
             WITH {graph_ctes},
             und AS (
@@ -1947,17 +2053,22 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_candidates": d3_sql,
         "d4_simhash_pairs": d4_sql,
         "d6_embed_neardup": d6_sql,
-        "s2_srp_topk": s2_sql,
         "s3_ivf_topk": s3_sql,
-        # s1: exact brute-force top-k — same explicit double-fold rerank
+        # s1 = exact brute-force top-k + the former s2 SRP-bucketed top-k
+        # stacked (r5 merge) — both mirrors share the explicit double-fold
+        # rerank.
         "s1_ann_topk": f"""
-            WITH {nv_cte},
-            cand AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-                FROM embeddings c, embeddings q
-                WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+            SELECT 'brute' AS method, * FROM (
+                WITH {nv_cte},
+                cand AS (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                    FROM embeddings c, embeddings q
+                    WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+                )
+                {rerank_select}
             )
-            {rerank_select}
+            UNION ALL
+            SELECT 'srp' AS method, * FROM ({s2_sql})
         """,
         # m3: the whole multimodal surface (m1+m2 merged here in r4 — slot
         # freed for g15): frame-sample fan-out rows (k = min(4, n); len_i =

@@ -136,21 +136,23 @@ def _lpa_loop(spark, edges, vertices, max_iter):
     return LPAResult(labels, it, converged)
 
 
-def modularity(
+def community_edge_stats(
     spark: SparkSession, edges: DataFrame, labels: DataFrame
-) -> float:
-    """Newman modularity Q of a community assignment over the undirected
-    simple view of ``edges`` (the same view the LPA loop propagates on) —
-    the standard quality score for the labels this module produces
-    (Newman & Girvan 2004 — public knowledge):
+) -> DataFrame:
+    """Per-community integer aggregates over the undirected simple view of
+    ``edges``: ``(label, l_c, deg_c)`` with L_c = intra-community edge
+    count and deg_c = summed degrees of the community's vertices — the
+    exact ingredients modularity is assembled from (Newman & Girvan
+    2004), exposed as a DataFrame so the quality machinery is witnessable
+    value-level (driver g16). Two aggregates, no iteration; the result is
+    materialized (localCheckpoint) so callers get community-count-sized
+    rows with no live lineage.
 
-        Q = sum_c [ L_c / m  -  (deg_c / 2m)^2 ]
-
-    with L_c = intra-community edge count, deg_c = summed degrees of the
-    community's vertices, m = total edges. Three aggregates and one
-    scalar collect — no iteration. Matches
-    ``networkx.algorithms.community.modularity`` exactly
-    (tests/test_lpa.py)."""
+    Raises when ``labels`` is not a full partition of the edge endpoints:
+    inner joins would silently DROP edges with an unlabeled endpoint from
+    the intra/degree sums while they still count in m, skewing Q —
+    networkx raises NotAPartition for the same input (ADVICE r3). Under
+    coverage, ``sum(deg_c) == 2m`` exactly, which is the check."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -159,22 +161,11 @@ def modularity(
         .distinct()
     )
     und = und.localCheckpoint(eager=True)
+    m = und.count()
     lab = labels.select("vid", "label")
     lab_a = lab.select(F.col("vid").alias("a"), F.col("label").alias("la"))
     lab_b = lab.select(F.col("vid").alias("b"), F.col("label").alias("lb"))
     tagged = und.join(lab_a, "a").join(lab_b, "b")
-    # Inner joins DROP edges with an unlabeled endpoint: they'd vanish from
-    # the intra/degree sums while still counting in m, silently skewing Q.
-    # networkx raises NotAPartition for the same input — match it (ADVICE r3).
-    m = und.count()
-    n_tagged = tagged.count()
-    if n_tagged != m:
-        und.unpersist()
-        raise ValueError(
-            f"labels do not cover every edge endpoint: {m - n_tagged} of "
-            f"{m} undirected edges have an unlabeled endpoint — modularity "
-            f"over a partial partition is undefined (networkx: NotAPartition)"
-        )
     intra = (
         tagged.filter(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("label"))
@@ -186,13 +177,48 @@ def modularity(
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("deg_c"))
     )
-    per_c = deg.join(intra, "label", "left").select(
-        F.coalesce("l_c", F.lit(0)).alias("l_c"), "deg_c"
+    stats = (
+        deg.join(intra, "label", "left")
+        .select("label", F.coalesce("l_c", F.lit(0)).alias("l_c"), "deg_c")
+        .localCheckpoint(eager=True)
     )
-    row = per_c.agg(
-        F.sum("l_c").alias("sl"), F.sum(F.col("deg_c") * F.col("deg_c")).alias("sd2")
-    ).collect()[0]
     und.unpersist()
+    n_tagged2 = stats.agg(F.sum("deg_c")).collect()[0][0] or 0
+    if int(n_tagged2) != 2 * m:
+        stats.unpersist()
+        raise ValueError(
+            f"labels do not cover every edge endpoint: {m - n_tagged2 // 2} "
+            f"of {m} undirected edges have an unlabeled endpoint — "
+            f"modularity over a partial partition is undefined "
+            f"(networkx: NotAPartition)"
+        )
+    return stats
+
+
+def modularity(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame
+) -> float:
+    """Newman modularity Q of a community assignment over the undirected
+    simple view of ``edges`` (the same view the LPA loop propagates on) —
+    the standard quality score for the labels this module produces
+    (Newman & Girvan 2004 — public knowledge):
+
+        Q = sum_c [ L_c / m  -  (deg_c / 2m)^2 ]
+
+    with L_c = intra-community edge count, deg_c = summed degrees of the
+    community's vertices, m = total edges (== sum(deg_c)/2 under the
+    coverage guarantee :func:`community_edge_stats` enforces). One extra
+    scalar collect over the community-sized stats — no iteration. Matches
+    ``networkx.algorithms.community.modularity`` exactly
+    (tests/test_lpa.py)."""
+    stats = community_edge_stats(spark, edges, labels)
+    row = stats.agg(
+        F.sum("l_c").alias("sl"),
+        F.sum(F.col("deg_c") * F.col("deg_c")).alias("sd2"),
+        F.sum("deg_c").alias("sd"),
+    ).collect()[0]
+    stats.unpersist()
+    m = int(row["sd"] or 0) // 2
     if m == 0:
         return 0.0
     return float(row["sl"]) / m - float(row["sd2"]) / (4.0 * m * m)
