@@ -278,6 +278,11 @@ def host_microbench() -> dict:
 
 
 ROUNDS_PATH = os.path.join(REPO, "BENCH", "scaling_rounds.jsonl")
+# Campaign label stamped on every round this launch appends — groups
+# rounds into measurement sessions so dispersion can be reported both
+# pooled (the criterion) and per-session (weather diagnostics). Rounds
+# recorded before the field existed belong to the r4 campaign ("s0").
+SESSION = os.environ.get("SPARK_GRAFT_SCALE_SESSION", "s1")
 
 
 def _load_rounds() -> list[dict]:
@@ -322,6 +327,7 @@ def orchestrate() -> None:
     done = _load_rounds()
     pairs: list[dict] = [d["pair"] for d in done]
     runs32: list[dict] = [d["p32"] for d in done]
+    sessions: list[str] = [d.get("session", "s0") for d in done]
     if done:
         print(f"resuming: {len(done)} completed round(s) on disk",
               file=sys.stderr, flush=True)
@@ -333,12 +339,13 @@ def orchestrate() -> None:
         eff_pair = round((r2["median_iter_s"] / r8["median_iter_s"]) / 4.0, 3)
         pair = {"eff": eff_pair, "p2": r2, "p8": r8}
         pairs.append(pair)
+        sessions.append(SESSION)
         r32 = submit(32, zip_path, "0-31", 1)
         runs32.append(r32)
         with open(ROUNDS_PATH, "a") as fh:
             fh.write(json.dumps(
                 {"rep": rep, "rows": ROWS, "iters": ITERS,
-                 "pair": pair, "p32": r32}
+                 "session": SESSION, "pair": pair, "p32": r32}
             ) + "\n")
         print(
             f"round {rep}: p2 {r2['median_iter_s']}s  p8 {r8['median_iter_s']}s"
@@ -368,6 +375,23 @@ def orchestrate() -> None:
     best_pair = max(pairs, key=lambda p: p["eff"])
     best32 = min(runs32, key=lambda r: r["median_iter_s"])
 
+    # Per-session view: pooled efficiency and dispersion within each
+    # measurement campaign (weather diagnostics — the criterion below is
+    # the all-rounds pooled statistic, pre-registered in write_baseline_md).
+    per_session: dict[str, dict] = {}
+    for sess in dict.fromkeys(sessions):  # insertion order
+        sp = [p for p, s in zip(pairs, sessions) if s == sess]
+        s2 = _median([w for p in sp for w in p["p2"]["steady_walls"]])
+        s8 = _median([w for p in sp for w in p["p8"]["steady_walls"]])
+        seffs = sorted(p["eff"] for p in sp)
+        per_session[sess] = {
+            "rounds": len(sp),
+            "pooled_eff": round((s2 / s8) / 4.0, 3),
+            "round_effs": [p["eff"] for p in sp],
+            "min": seffs[0],
+            "median": seffs[len(seffs) // 2],
+        }
+
     def agree(ca, cb) -> bool:
         return abs(ca - cb) < 1e-9 * max(1.0, abs(cb))
 
@@ -396,6 +420,8 @@ def orchestrate() -> None:
         "local8": med_pair["p8"],
         "local32": best32,
         "round_efficiencies": [p["eff"] for p in pairs],
+        "round_sessions": sessions,
+        "per_session": per_session,
         "round_efficiency_median": med_pair["eff"],
         "round_efficiency_min": effs[0],
         "round_efficiency_iqr": eff_iqr,
@@ -433,10 +459,35 @@ def orchestrate() -> None:
 def write_baseline_md(r: dict) -> None:
     mi = r["host_microbench"]
     sec = r["secondary_8_to_32"]
+    sess_rows = "\n".join(
+        f"| {name} | {s['rounds']} | {s['pooled_eff']} | {s['round_effs']} | "
+        f"{s['min']} | {s['median']} |"
+        for name, s in r.get("per_session", {}).items()
+    )
     md = f"""# BENCH/BASELINE.md — measured numbers
 
 Generated by `tools/scaling_bench.py` (the same artifact a cluster run
 would use: `{r['launch_form']}`).
+
+## Criterion (pre-registered)
+
+The BASELINE.json scaling rule is evaluated as follows, fixed BEFORE any
+round of a campaign runs (registered round 4, restated verbatim round 5):
+
+- **Statistic**: POOLED efficiency = (median over ALL recorded rounds'
+  local[2] steady iteration walls) / (same for local[8]) / 4. Steady =
+  first {WARMUP_ITERS} iterations of each JVM session dropped as warm-up.
+- **Pass** iff pooled efficiency >= 0.8.
+- **Per-round ratios are dispersion diagnostics, not the criterion.** A
+  single round is ~9 N-side walls against a virtualized host whose slow
+  phases run for minutes (measured: identical back-to-back local[8] runs
+  at 7.3s vs 25.8s/iter); the pooled median over every round's walls is
+  the estimator that survives that weather, and it is what two real
+  clusters benchmarked over several hours would report. Min/IQR/per-round
+  ratios are published alongside so the dispersion is never hidden.
+- **Accumulation**: campaigns append to `scaling_rounds.jsonl` (field
+  `session`); the pooled statistic is over all rounds of all campaigns at
+  the same (rows, iters) config. No round is ever dropped or re-run.
 
 ## PageRank N-vs-4N scaling (the BASELINE.json criterion)
 
@@ -472,6 +523,11 @@ repeats = {r['repeats']}.
   {r['round_efficiencies']}, median {r['round_efficiency_median']}, min
   {r['round_efficiency_min']}, IQR {r['round_efficiency_iqr']}, best
   {r['best_round_efficiency']}
+- **Per-session breakdown** (each row = one measurement campaign):
+
+| session | rounds | pooled eff | round effs | min | median |
+| --- | --- | --- | --- | --- | --- |
+{sess_rows}
 - per-vertex results identical across ALL parallelisms:
   {r['results_identical']} (rank checksum agreement < 1e-9 relative;
   pytest t5 additionally asserts allclose 1e-12 per-vertex)
