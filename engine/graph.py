@@ -451,3 +451,58 @@ def graph_density(edges: DataFrame, directed: bool = True) -> float:
         return 0.0
     pairs = nv * (nv - 1) if directed else nv * (nv - 1) / 2
     return float(m) / pairs
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 1) -> dict:
+    """MLE power-law exponent of the degree distribution (undirected
+    simple view): alpha = 1 + n / Σ ln(d / (dmin - 1/2)) over degrees
+    >= dmin — the discrete-MLE approximation of Clauset, Shalizi &
+    Newman, SIAM Review 2009, eq. 3.7, with the standard error
+    (alpha - 1)/sqrt(n) from eq. 3.6. The one-number answer to "how
+    heavy is this tail" next to :func:`degree_histogram`; drives salting
+    decisions (engine/diagnostics.py) — alpha < 2.5 means hub degree
+    grows superlinearly in graph size and every per-key operator needs
+    a skew plan. Two scalar aggregates, nothing collected but moments.
+
+    Returns {alpha, sigma, n_tail, dmin} — n_tail = #vertices with
+    degree >= dmin. Raises on an empty tail (no MLE from no data)."""
+    if dmin < 1:
+        raise ValueError(f"powerlaw_alpha: dmin must be >= 1, got {dmin}")
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    row = (
+        deg.filter(F.col("deg") >= dmin)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.log(F.col("deg") / (dmin - 0.5))).alias("slog"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError(
+            f"powerlaw_alpha: no vertices with degree >= dmin={dmin}"
+        )
+    slog = float(row["slog"])
+    if slog <= 0:
+        raise ValueError(
+            f"powerlaw_alpha: degenerate tail (all degrees == dmin={dmin}"
+            f" yield Σlog=0); raise dmin or inspect degree_histogram"
+        )
+    alpha = 1.0 + n / slog
+    return {
+        "alpha": alpha,
+        "sigma": (alpha - 1.0) / (n ** 0.5),
+        "n_tail": n,
+        "dmin": dmin,
+    }

@@ -198,3 +198,171 @@ def heavy_hitters(
     # shard summaries have disjoint key sets: the "merge" is a union, no
     # decrement needed, and per-key error stays within the shard bound.
     return shard_sums.withColumnRenamed("k", col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership sketch + semi-join pruning
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Dense bit array as 64-bit words (``words[i]`` holds bits
+    64i..64i+63), built by :func:`bloom_build`. Fixed size, mergeable by
+    bitwise OR (:func:`bloom_merge`); ``might_contain`` has NO false
+    negatives and a false-positive rate ~(1-e^{-kn/m})^k (Bloom, CACM
+    1970)."""
+
+    words: tuple
+    m_bits: int
+    k_hashes: int
+    n_items: int
+
+    @property
+    def fpp_estimate(self) -> float:
+        """Expected false-positive probability at the built load."""
+        import math
+
+        if self.m_bits == 0 or self.n_items == 0:
+            return 0.0
+        return (1.0 - math.exp(-self.k_hashes * self.n_items / self.m_bits)) ** self.k_hashes
+
+
+def _bloom_positions(col, k_hashes: int, m_bits: int):
+    """k (word, bit) expressions for one key column — seeded xxhash64,
+    the same JVM-codegen hash family as the CMS above."""
+    out = []
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        out.append((
+            F.floor(pos / 64).cast("int"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+            ),
+        ))
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    max_bytes: int = 64 << 20,
+) -> BloomFilter:
+    """Bloom filter of ``df[col]`` (NULLs skipped — NULL never equi-joins,
+    so membership is meaningless for it).
+
+    Sizing is the textbook optimum: m = -n·ln p / (ln 2)^2 bits,
+    k = (m/n)·ln 2 hashes. ``expected_items`` defaults to one
+    ``approx_count_distinct`` pass. The filter must broadcast — that is
+    its entire point — so ``max_bytes`` fails LOUDLY instead of silently
+    building a filter too big to ship to executors.
+
+    Spark shape: each key explodes into k (word, bit) pairs, one
+    partial-aggregable ``groupBy(word).agg(bit_or(bit))`` — the shuffle
+    moves at most m/64 rows (the sketch), never the data. This is the
+    engine-level form of Spark's own InjectRuntimeFilter, exposed for
+    multi-action pipelines where the build side is computed in an
+    earlier job and Catalyst cannot see across the boundary.
+    """
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"bloom_build: fpp must be in (0,1), got {fpp}")
+    src = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("k"))
+    if expected_items is None:
+        expected_items = int(
+            src.agg(F.approx_count_distinct("k").alias("n")).collect()[0]["n"]
+        )
+    n = max(1, expected_items)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m_bits = ((m_bits + 63) // 64) * 64
+    if m_bits // 8 > max_bytes:
+        raise ValueError(
+            f"bloom_build: {n} items at fpp={fpp} needs {m_bits // 8} bytes "
+            f"> max_bytes={max_bytes}; raise fpp, lower expected_items, or "
+            f"raise max_bytes if the broadcast can afford it"
+        )
+    k_hashes = max(1, min(16, round(m_bits / n * math.log(2))))
+
+    pairs = [
+        src.select(w.alias("word"), b.alias("bit"))
+        for (w, b) in _bloom_positions(F.col("k"), k_hashes, m_bits)
+    ]
+    allp = pairs[0]
+    for p in pairs[1:]:
+        allp = allp.unionByName(p)
+    rows = (
+        allp.groupBy("word").agg(F.bit_or("bit").alias("bits")).collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["word"]] = r["bits"]
+    return BloomFilter(tuple(words), m_bits, k_hashes, n)
+
+
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """Filter of the UNION of the two builds — word-wise OR. Parameters
+    must match (different geometries don't merge)."""
+    if (a.m_bits, a.k_hashes) != (b.m_bits, b.k_hashes):
+        raise ValueError(
+            f"bloom_merge: geometry mismatch {(a.m_bits, a.k_hashes)} vs "
+            f"{(b.m_bits, b.k_hashes)}"
+        )
+    words = tuple(x | y for x, y in zip(a.words, b.words))
+    return BloomFilter(words, a.m_bits, a.k_hashes, a.n_items + b.n_items)
+
+
+def bloom_prune(df: DataFrame, col: str, bf: BloomFilter) -> DataFrame:
+    """Rows of ``df`` whose ``col`` might be in the filter — a SUPERSET of
+    the true semi-join (false positives pass, false negatives never
+    happen; NULL keys are dropped, matching semi-join semantics).
+
+    Map-only: the word array rides in as a one-row broadcast
+    (BroadcastNestedLoopJoin of a single row — no literal-tree blowup at
+    8M-long filters, no shuffle of ``df``), and the k probes are
+    ``element_at`` + bitwise-AND, all whole-stage codegen."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(list(bf.words),)], "__bloom_words array<long>"
+    )
+    probes = _bloom_positions(F.col(col), bf.k_hashes, bf.m_bits)
+    cond = F.lit(True)
+    for w, b in probes:
+        word = F.get(F.col("__bloom_words"), w)  # 0-based, Column index
+        cond = cond & (word.bitwiseAND(b) != 0)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bdf))
+        .filter(cond)
+        .drop("__bloom_words")
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    fpp: float = 0.01,
+    exact: bool = True,
+    max_bytes: int = 64 << 20,
+) -> DataFrame:
+    """left-semi join of ``big`` against ``small`` on ``key``, pruned by a
+    Bloom filter of the small side FIRST.
+
+    Why this exists at 100 TB: a plain shuffle semi-join moves EVERY big
+    row to its hash partition before any key can be rejected; when the
+    small side hits only a sliver of the big side (decontamination
+    lists, revoked-repo sets, sampled audit keys), the filter rejects
+    ~all rows map-side and the shuffle carries only survivors + false
+    positives. ``exact=True`` (default) follows with the true semi-join
+    on the pruned remnant, so the result is EXACTLY the semi-join;
+    ``exact=False`` returns the superset (rows-only use, e.g. counting
+    upper bounds) and is a pure map job over ``big``."""
+    bf = bloom_build(small, key, fpp=fpp, max_bytes=max_bytes)
+    pruned = bloom_prune(big, key, bf)
+    if not exact:
+        return pruned
+    return pruned.join(
+        small.select(F.col(key)).distinct(), key, "left_semi"
+    )

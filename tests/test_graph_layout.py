@@ -204,3 +204,41 @@ def test_density_matches_networkx(spark):
     assert graph_density(
         edges_df(spark, pairs), directed=False
     ) == pytest.approx(nx.density(gu), abs=1e-12)
+
+
+def test_powerlaw_alpha_matches_direct_mle(spark, tiny_graph):
+    import math
+
+    import pytest
+    from engine.graph import powerlaw_alpha
+
+    _, e = tiny_graph
+    # direct MLE on the collected degree list (CSN 2009 eq. 3.7)
+    und = {}
+    for r in e.select("src", "dst").distinct().collect():
+        if r.src == r.dst:
+            continue
+        a, b = min(r.src, r.dst), max(r.src, r.dst)
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    for dmin in (1, 2, 3):
+        degs = [len(v) for v in und.values() if len(v) >= dmin]
+        slog = sum(math.log(d / (dmin - 0.5)) for d in degs)
+        want = 1.0 + len(degs) / slog
+        got = powerlaw_alpha(e, dmin=dmin)
+        assert got["alpha"] == pytest.approx(want, rel=1e-12)
+        assert got["n_tail"] == len(degs)
+        assert got["sigma"] == pytest.approx((want - 1) / len(degs) ** 0.5)
+
+
+def test_powerlaw_alpha_contracts(spark):
+    import pytest
+    from engine.graph import powerlaw_alpha
+    from tests.conftest import edges_df
+
+    with pytest.raises(ValueError, match="dmin"):
+        powerlaw_alpha(edges_df(spark, [(0, 1)]), dmin=0)
+    # a single edge: both degrees == dmin=1 -> Σlog over d/0.5 is log 2 > 0,
+    # fine; but dmin=2 leaves an empty tail
+    with pytest.raises(ValueError, match="no vertices"):
+        powerlaw_alpha(edges_df(spark, [(0, 1)]), dmin=2)
