@@ -285,22 +285,26 @@ def _q_rolling(spark, sf):
     )
 
 
-def _q_union(spark, sf):
-    c = _tbl(spark, sf, "customer").select(
-        F.lit("c").alias("kind"), F.col("c_custkey").alias("key")
-    )
-    s = _tbl(spark, sf, "supplier").select(
-        F.lit("s").alias("kind"), F.col("s_suppkey").alias("key")
-    )
-    return c.unionByName(s)
-
-
 def _q_setops(spark, sf):
-    """u2: except + distinct (+ a union gluing them) in one result — the
-    former u2/u3 rows merged so g11 fits inside the driver's 50-query
-    window (same consolidation precedent as t3/m2/m5 in r3)."""
+    """u2: union + except + distinct in one result — u1's kind-tagged
+    customer/supplier union folded in as op='union' rows (r5, freeing a
+    window slot for g18_butterflies; same consolidation precedent as
+    u2/u3 in r4 and t3/m2/m5 in r3)."""
     c = _tbl(spark, sf, "customer").select(F.col("c_custkey").alias("key")).distinct()
     s = _tbl(spark, sf, "supplier").select(F.col("s_suppkey").alias("key")).distinct()
+    un = (
+        _tbl(spark, sf, "customer")
+        .select(F.lit("c").alias("kind"), F.col("c_custkey").alias("key"))
+        .unionByName(
+            _tbl(spark, sf, "supplier").select(
+                F.lit("s").alias("kind"), F.col("s_suppkey").alias("key")
+            )
+        )
+        .select(
+            F.lit("union").alias("op"),
+            F.concat_ws("|", "kind", F.col("key").cast("string")).alias("val"),
+        )
+    )
     ex = c.exceptAll(s).select(
         F.lit("except").alias("op"), F.col("key").cast("string").alias("val")
     )
@@ -313,7 +317,29 @@ def _q_setops(spark, sf):
             F.concat_ws("|", "l_returnflag", "l_linestatus").alias("val"),
         )
     )
-    return ex.unionByName(di)
+    return un.unionByName(ex).unionByName(di)
+
+
+def _q_butterflies(spark, sf):
+    """g18: butterfly (bipartite 4-cycle) participation per vertex of the
+    repo->lang two-mode layer (engine/algos/butterflies.py — KDD'18
+    side-selected wedge counting, exact per-vertex credits for both
+    layers). Counts are exact integers, so the DuckDB mirror (the same
+    pair-count algebra spelled as SQL self-joins) matches with no
+    tolerance. The repo->path layer would be identically zero (every
+    path has exactly one repo — a star forest); repo->lang is the
+    densest two-mode layer this corpus has."""
+    from engine.algos.butterflies import butterflies
+
+    docs = _tbl(spark, sf, "documents")
+    e = docs.select(
+        F.concat(F.lit("repo:"), "source").alias("src"),
+        F.concat(F.lit("lang:"), "lang").alias("dst"),
+    ).distinct()
+    res = butterflies(spark, e, per_vertex=True)
+    return res.per_vertex.select(
+        F.col("vid").alias("name"), "side", "butterflies"
+    )
 
 
 # -------- graph queries over the documents corpus (FIXTURES.md §3 mapping)
@@ -854,8 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rank_topk": _q_rank_topk,
         "w4_rolling": _q_rolling,
         "w5_sessionize": _q_sessionize,
-        # B.6 set ops (u2 merged except+distinct; freed slot goes to g11)
-        "u1_union": _q_union,
+        # B.6 set ops (u1's union folded into u2 in r5 — slot freed for g18)
         "u2_setops": _q_setops,
         # B.7 graph (documents corpus); iterative algos value-verified via
         # recursive-CTE oracles
@@ -876,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_ppr_sweep": _q_g_ppr_sweep,
         "g16_modularity": _q_g_modularity,
         "g17_graph_shape": _q_g_shape,
+        "g18_butterflies": _q_butterflies,
         # text analysis
         "t1_tokens": _q_t_tokens,
         "t2_quality": _q_t_quality,
@@ -1488,12 +1514,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg FROM events"
         ),
-        "u1_union": (
-            "SELECT 'c' AS kind, c_custkey AS key FROM customer "
-            "UNION ALL SELECT 's', s_suppkey FROM supplier"
-        ),
         "u2_setops": (
-            "SELECT 'except' AS op, CAST(key AS VARCHAR) AS val FROM ("
+            "SELECT 'union' AS op, kind || '|' || CAST(key AS VARCHAR) AS val "
+            "FROM (SELECT 'c' AS kind, c_custkey AS key FROM customer "
+            "UNION ALL SELECT 's', s_suppkey FROM supplier) "
+            "UNION ALL "
+            "SELECT 'except', CAST(key AS VARCHAR) FROM ("
             "SELECT DISTINCT c_custkey AS key FROM customer "
             "EXCEPT SELECT DISTINCT s_suppkey AS key FROM supplier) "
             "UNION ALL "
@@ -1747,6 +1773,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(um AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1) / 2)
                        AS density_undirected
             FROM cnts, nv, um
+        """,
+        "g18_butterflies": """
+            WITH e AS (
+                SELECT DISTINCT 'repo:' || source AS l, 'lang:' || lang AS r
+                FROM documents
+            ), wed AS (
+                SELECT a.r AS c, a.l AS x, b.l AS y
+                FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+            ), pc AS (
+                SELECT x, y, COUNT(*) AS cw FROM wed GROUP BY x, y
+            ), left_credit AS (
+                SELECT vid, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+                    SELECT x AS vid, (cw * (cw - 1)) // 2 AS bf FROM pc
+                    UNION ALL
+                    SELECT y, (cw * (cw - 1)) // 2 FROM pc
+                ) GROUP BY vid
+            ), right_credit AS (
+                SELECT w.c AS vid, CAST(SUM(pc.cw - 1) AS BIGINT) AS butterflies
+                FROM wed w JOIN pc ON w.x = pc.x AND w.y = pc.y
+                GROUP BY w.c
+            )
+            SELECT lv.vid AS name, 'src' AS side,
+                   COALESCE(lc.butterflies, 0) AS butterflies
+            FROM (SELECT DISTINCT l AS vid FROM e) lv
+            LEFT JOIN left_credit lc ON lv.vid = lc.vid
+            UNION ALL
+            SELECT rv.vid, 'dst', COALESCE(rc.butterflies, 0)
+            FROM (SELECT DISTINCT r AS vid FROM e) rv
+            LEFT JOIN right_credit rc ON rv.vid = rc.vid
         """,
         "g15_ppr_sweep": f"""
             WITH {graph_ctes},
