@@ -128,6 +128,52 @@ def main() -> None:
         f"{res_d.edges_gathered} vs dense {dense_gathered} "
         f"({extra['pagerank_delta']['gather_reduction_x']}x reduction)")
 
+    # ---- 2b''. incremental recompute (the scenario warm start exists
+    # for — BASELINE north_star's resumable/incremental requirement):
+    # rewire a hash-chosen ~1% edge slice to shifted dst vertices, then
+    # reconverge BOTH loops from the headline run's converged ranks.
+    # Reported honestly: on this host the per-round job floor prices
+    # delta's extra rounds above its gather savings (the crossover
+    # anatomy lives in BENCH/delta_crossover.json + BENCH/BASELINE.md);
+    # the ledger that scales — edges gathered — is in extra.
+    batch = (
+        e.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(100)) == 0)
+        .select(
+            "src",
+            F.pmod(F.col("dst") + 12345, F.lit(n_v)).alias("dst"),
+            F.lit("inc").alias("rel"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    e_inc = e.unionByName(batch).persist()
+    n_e_inc = e_inc.count()
+    t0 = time.monotonic()
+    res_wd = pagerank(spark, e_inc, vertices=v, tol=1e-6, max_iter=iters,
+                      initial_ranks=res.ranks)
+    q["pagerank_warm_dense_1pct"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    res_wl = pagerank_delta(spark, e_inc, vertices=v, tol=1e-6,
+                            max_iter=1000, initial_ranks=res.ranks)
+    q["pagerank_warm_delta_1pct"] = time.monotonic() - t0
+    extra["pagerank_incremental"] = {
+        "batch_edges": n_e_inc - n_e,
+        "dense_iters": res_wd.iterations,
+        "delta_rounds": res_wl.iterations,
+        "dense_edges_gathered": res_wd.iterations * n_e_inc,
+        "delta_edges_gathered": res_wl.edges_gathered,
+        "gather_reduction_x": round(
+            res_wd.iterations * n_e_inc / max(res_wl.edges_gathered, 1), 2
+        ),
+        "warm_vs_cold_dense_iters": round(
+            res_wd.iterations / max(res.iterations, 1), 2
+        ),
+    }
+    e_inc.unpersist()
+    log(f"pagerank incremental 1pct: dense-warm {res_wd.iterations} iters "
+        f"{q['pagerank_warm_dense_1pct']:.1f}s, delta-warm "
+        f"{res_wl.iterations} rounds {q['pagerank_warm_delta_1pct']:.1f}s "
+        f"({extra['pagerank_incremental']['gather_reduction_x']}x fewer edges)")
+
     # ---- 2b'. sweep-cut pricing over the converged PageRank order
     # (engine/algos/localcluster.py): measures the NEW machinery — the
     # symmetrize + degree pass, the support-wide rank window, and the two
@@ -279,6 +325,56 @@ def main() -> None:
     extra["heavy_hitters_top"] = {"dst": int(top.dst), "est": float(top.est)}
     log(f"heavy_hitters: top dst {top.dst} est {top.est:.0f} in "
         f"{q['heavy_hitters_dst']:.1f}s")
+
+    # Bloom semi-join pruning (engine/sketch.py): a 1%-of-vertices key
+    # set prunes the full edge table map-side before the exact semi-join
+    # — the runtime-filter pattern across action boundaries. The row
+    # times build + prune + exact join end to end at O(E) probe scale.
+    from engine.sketch import bloom_build, bloom_prune, bloom_semi_join
+
+    keys = v.filter(F.pmod(F.xxhash64("vid"), F.lit(100)) == 0).select(
+        F.col("vid").alias("src")
+    )
+    t0 = time.monotonic()
+    n_kept = bloom_semi_join(e, keys, "src", fpp=0.01, exact=True).count()
+    q["bloom_semi_join_1pct"] = time.monotonic() - t0
+    bf = bloom_build(keys, "src", fpp=0.01)
+    n_pruned = bloom_prune(e, "src", bf).count()
+    extra["bloom_semi_join"] = {
+        "keys": keys.count(), "kept": n_kept, "bloom_pass": n_pruned,
+        "probe_rows": n_e, "filter_bytes": bf.m_bits // 8,
+        "false_positive_rows": n_pruned - n_kept,
+    }
+    log(f"bloom_semi_join: {n_kept} kept of {n_e} probed "
+        f"({n_pruned - n_kept} bloom FPs, {bf.m_bits // 8}B filter) in "
+        f"{q['bloom_semi_join_1pct']:.1f}s")
+
+    # Butterfly counting (engine/algos/butterflies.py) on the repo->lang
+    # two-mode layer (repo_path ∘ path_lang composition — repo->path
+    # itself is a star forest): wedge-side selection + one self-join.
+    from engine.algos.butterflies import butterflies
+
+    rl = (
+        e.filter(F.col("rel") == "repo_path")
+        .select(F.col("src").alias("repo"), F.col("dst").alias("p"))
+        .join(
+            e.filter(F.col("rel") == "path_lang").select(
+                F.col("src").alias("p"), F.col("dst").alias("lang")
+            ),
+            "p",
+        )
+        .select(F.col("repo").alias("src"), F.col("lang").alias("dst"))
+        .distinct()
+    )
+    t0 = time.monotonic()
+    bres = butterflies(spark, rl)
+    q["butterflies_repo_lang"] = time.monotonic() - t0
+    extra["butterflies"] = {
+        "total": bres.total, "wedged_side": bres.wedged_side,
+        "wedge_cost": bres.wedge_cost,
+    }
+    log(f"butterflies: {bres.total} (wedged {bres.wedged_side}, "
+        f"{bres.wedge_cost} wedges) in {q['butterflies_repo_lang']:.1f}s")
 
     # WL structural refinement (3 rounds on the full structural graph):
     # the per-round cost is the same O(E) gather as PageRank, so this
