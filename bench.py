@@ -639,6 +639,37 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     docs.count()
     timed("q3_minhash_dedup", lambda: D.minhash_candidates(docs, k=16, bands=4).count())
+
+    # Exact prefix-filtered Jaccard join (engine/ssjoin.py) on the same
+    # shingle family: the sketch-free ground truth. The extra column
+    # records measured MinHash recall at the 0.6 threshold — the number
+    # the LSH knobs (k, bands) are trading wall-clock against.
+    from engine.ssjoin import jaccard_join
+
+    t0 = time.monotonic()
+    exact_pairs = {
+        (r.a, r.b)
+        for r in jaccard_join(docs, 0.6).select("a", "b").collect()
+    }
+    q["ssjoin_exact_06"] = time.monotonic() - t0
+    cand = D.minhash_candidates(docs, k=16, bands=4)
+    mh_pairs = {
+        (r.a, r.b)
+        for r in D.ngram_jaccard_pairs(docs, cand)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("a", "b")
+        .collect()
+    }
+    extra["ssjoin"] = {
+        "exact_pairs": len(exact_pairs),
+        "minhash_verified_pairs": len(mh_pairs),
+        "minhash_recall": round(
+            len(mh_pairs & exact_pairs) / max(len(exact_pairs), 1), 4
+        ),
+    }
+    log(f"ssjoin_exact_06: {len(exact_pairs)} exact pairs in "
+        f"{q['ssjoin_exact_06']:.1f}s; minhash recall "
+        f"{extra['ssjoin']['minhash_recall']}")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()
     timed(
