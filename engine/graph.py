@@ -506,3 +506,85 @@ def powerlaw_alpha(edges: DataFrame, dmin: int = 1) -> dict:
         "n_tail": n,
         "dmin": dmin,
     }
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) rich-club coefficient of the undirected
+    simple view for every integer k with at least two richer-than-k nodes:
+    phi(k) = 2 E_k / (N_k (N_k - 1)), N_k = #nodes of degree > k, E_k =
+    #edges whose min endpoint degree > k (Colizza et al., Nature Physics
+    2006; McAuley et al. 2007 — ``networkx.rich_club_coefficient``
+    semantics, normalized=False). Do hubs form their own densely wired
+    club, or only fan out to the periphery?
+
+    Spark shape — no per-k passes, no peeling loop: one degree groupBy,
+    one edge min-degree join, then BOTH step functions fall out of
+    suffix sums over the merged degree HISTOGRAM. The histogram has at
+    most 2*sqrt(E) rows (distinct degree values d1<d2<... satisfy
+    sum(di) <= 2E), so its single-partition window is bounded by the
+    input's square root, not its size — same contract as the
+    vocabulary window in sampling.weighted_draws. The only output-sized
+    step is the final sequence() explode to dense k, which IS the
+    answer. Self-loops are dropped by the simple view (networkx raises
+    on them instead); vertices appear via their incident edges, which
+    matches networkx exactly because degree-0 nodes can never enter
+    N_k. phi uses the same integer-product double division as networkx,
+    so parity tests need no tolerance."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_v"))
+    mdeg = (
+        und.join(deg.select(F.col("vid").alias("a"),
+                            F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("vid").alias("b"),
+                         F.col("degree").alias("db")), "b")
+        .select(F.least("da", "db").alias("degree"))
+    )
+    ehist = mdeg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_e"))
+    bp = (
+        hist.join(ehist, "degree", "full")
+        .select(
+            "degree",
+            F.coalesce("n_v", F.lit(0)).alias("n_v"),
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+        )
+    )
+    # Suffix sums (counts at degree >= this breakpoint) + the previous
+    # breakpoint: rows k in [prev, degree-1] all see these counts,
+    # because N_{>k} / E_{>k} change only at breakpoint degrees.
+    w_desc = (
+        Window.orderBy(F.desc("degree"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = Window.orderBy("degree")
+    steps = bp.select(
+        "degree",
+        F.sum("n_v").over(w_desc).alias("nodes_ge"),
+        F.sum("n_e").over(w_desc).alias("edges_ge"),
+        F.coalesce(F.lag("degree").over(w_asc), F.lit(0)).alias("prev"),
+    )
+    return (
+        steps.filter(F.col("nodes_ge") >= 2)
+        .select(
+            F.explode(
+                F.sequence("prev", F.col("degree") - 1)
+            ).alias("k"),
+            F.col("nodes_ge").alias("n_nodes"),
+            F.col("edges_ge").alias("n_edges"),
+        )
+        .withColumn(
+            "phi",
+            (F.lit(2) * F.col("n_edges"))
+            / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+        )
+    )

@@ -242,3 +242,48 @@ def test_powerlaw_alpha_contracts(spark):
     # fine; but dmin=2 leaves an empty tail
     with pytest.raises(ValueError, match="no vertices"):
         powerlaw_alpha(edges_df(spark, [(0, 1)]), dmin=2)
+
+
+def test_rich_club_matches_networkx(spark):
+    import networkx as nx
+    from engine.graph import rich_club
+    from tests.conftest import edges_df
+
+    # the nx docstring example plus random graphs — whole dict, no
+    # tolerance (same integer-ratio double division on both sides)
+    cases = [
+        nx.Graph([(0, 1), (0, 2), (1, 2), (1, 3), (1, 4), (4, 5)]),
+        nx.gnm_random_graph(40, 120, seed=11),
+        nx.barbell_graph(6, 2),
+        nx.star_graph(9),
+    ]
+    for g in cases:
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {r.k: r.phi for r in rich_club(edges_df(spark, list(g.edges))).collect()}
+        want = nx.rich_club_coefficient(g, normalized=False)
+        assert got == want, g
+
+    # counts surface honestly: on the star, k=0 sees all nodes/edges
+    rows = {r.k: r for r in rich_club(edges_df(spark, list(nx.star_graph(9).edges))).collect()}
+    assert rows[0].n_nodes == 10 and rows[0].n_edges == 9
+
+
+def test_rich_club_simple_view_and_gaps(spark):
+    import networkx as nx
+    from engine.graph import rich_club
+    from tests.conftest import edges_df
+
+    # duplicate orientations + self loops collapse to the simple view
+    # (networkx would raise on the self loop; the engine's simple-view
+    # convention drops it, like every other shape statistic here)
+    pairs = [(0, 1), (1, 0), (1, 1), (1, 2), (0, 2), (2, 3)]
+    got = {r.k: r.phi for r in rich_club(edges_df(spark, pairs)).collect()}
+    g = nx.Graph([(0, 1), (1, 2), (0, 2), (2, 3)])
+    assert got == nx.rich_club_coefficient(g, normalized=False)
+
+    # degree gaps (degrees 1 and 50): dense k rows fill the gap with
+    # constant step values — parity over the whole range
+    hub = [(0, i) for i in range(1, 51)] + [(1, 2)]
+    got = {r.k: r.phi for r in rich_club(edges_df(spark, hub)).collect()}
+    want = nx.rich_club_coefficient(nx.Graph(hub), normalized=False)
+    assert got == want
