@@ -166,3 +166,16 @@ def test_exact_recall_vs_minhash_candidates(spark):
     )
     mh = {(r.a, r.b) for r in verified.collect()}
     assert mh <= exact  # sketch recall is a subset of exact recall
+
+
+def test_plan_has_no_cartesian(spark):
+    # every stage is an equi-join (prefix-token, length/position filters
+    # ride as join-condition filters) — a Cartesian or broadcast-nested-
+    # loop anywhere means the prefix filter fell out of the plan
+    rng = random.Random(3)
+    sets = {i: set(rng.sample([f"w{j}" for j in range(20)], 5)) for i in range(20)}
+    df = _tokens_df(spark, sets)
+    plan = (
+        jaccard_join_sets(df, 0.5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
