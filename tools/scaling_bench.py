@@ -456,7 +456,16 @@ def orchestrate() -> None:
     print(json.dumps(result, indent=2))
 
 
+MANUAL_MARKER = (
+    "<!-- MANUAL SECTIONS BELOW — preserved by "
+    "tools/scaling_bench.py write_baseline_md -->"
+)
+
+
 def write_baseline_md(r: dict) -> None:
+    """Regenerate the scaling sections; everything from MANUAL_MARKER on
+    (per-round bench records, crossover sweeps) is carried over verbatim —
+    a campaign must never clobber hand-recorded measurement history."""
     mi = r["host_microbench"]
     sec = r["secondary_8_to_32"]
     sess_rows = "\n".join(
@@ -574,8 +583,15 @@ enforced by `python -m pytest -x -q` (tests/test_pagerank.py etc.).
 Raw data: `BENCH/scaling.json`. Per-round operator timings: `BENCH_r{{N}}.json`
 (driver-run `bench.py`).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = fh.read()
+        if MANUAL_MARKER in prev:
+            manual = "\n" + MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    with open(path, "w") as fh:
+        fh.write(md + manual)
 
 
 if __name__ == "__main__":
