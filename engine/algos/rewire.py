@@ -1,0 +1,203 @@
+"""Degree-preserving graph rewiring — the configuration-model null model.
+
+Double-edge swaps (Milo et al. 2003, "On the uniform generation of random
+graphs with prescribed degree sequences"; the machinery behind
+``networkx.double_edge_swap``): pick two edges (u,v), (x,y), replace with
+(u,y), (x,v). Every vertex keeps its exact degree, so repeated swaps
+sample (approximately uniformly) from the simple graphs with the SAME
+degree sequence — the null model every structural statistic is judged
+against: normalized rich-club (Colizza 2006 divides phi by this null),
+motif significance (Milo 2002 z-scores), clustering excess, assortativity
+significance. Without a null model, "824M butterflies" is a number; with
+one, it is or is not a finding.
+
+Batch form (nx's loop is one swap at a time — unusable at 10^9 edges):
+
+1. **Pair** every edge with a partner: one hash key per edge per round,
+   a window over hash BUCKETS (partitionBy bucket — thousands of rows
+   each, fully distributed) pairs adjacent ranks. No global sort.
+2. **Propose**: each complete pair (u,v),(x,y) proposes (u,y),(x,v) —
+   canonicalized a<b on the undirected simple view.
+3. **Validate set-wise, then commit or revert per pair**: a proposal
+   commits iff neither new edge is a self-loop and BOTH new edges are
+   globally unique across (all unswapped edges) ∪ (every proposal's new
+   edges) — one groupBy count over that union. Conflicting or colliding
+   proposals revert to their ORIGINAL two edges, so the graph is a valid
+   simple graph with the exact degree sequence after EVERY round (the
+   invariant is structural, not statistical, and is tested as such).
+4. Repeat ``rounds`` times; each round is ~2 shuffles + one checkpoint,
+   and up to E/2 swaps are attempted per round — ``rounds=10`` attempts
+   ~5x more swaps than nx's default nswap=1 and is the knob to trade
+   mixing quality against wall clock.
+
+Determinism: all pairing keys are ``xxhash64(edge, seed, round)`` — the
+same (input, seed) rewires identically at any parallelism, so null-model
+experiments are reproducible (tests assert bit-equality under
+repartitioning).
+
+``rich_club_normalized`` composes this with engine.graph.rich_club:
+phi(k) / phi_null(k), the Colizza normalization — values > 1 mean the
+real hubs are MORE interlinked than their degrees force them to be.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.algos.loopstate import fresh_checkpoint
+from engine.algos.pagerank import iterative_conf
+
+
+@dataclass
+class RewireResult:
+    edges: DataFrame          # (src, dst) canonical a<b simple view
+    rounds: int
+    swaps_applied: int        # committed pair-swaps across all rounds
+    swaps_attempted: int      # complete pairs proposed across all rounds
+
+
+def double_edge_swap(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 10,
+    seed: int = 42,
+) -> RewireResult:
+    """Degree-preserving randomization of the undirected simple view."""
+    if rounds < 1:
+        raise ValueError(f"double_edge_swap: rounds must be >= 1, got {rounds}")
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nbuckets = max(2, P * 4)
+    e = fresh_checkpoint(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(P, "a", "b")
+    )
+    applied = 0
+    attempted = 0
+    with iterative_conf(spark):
+        for r in range(rounds):
+            k = F.xxhash64("a", "b", F.lit(seed), F.lit(r))
+            keyed = e.select(
+                "a", "b", k.alias("k"), F.pmod(k, F.lit(nbuckets)).alias("bkt")
+            )
+            w = Window.partitionBy("bkt").orderBy("k", "a", "b")
+            rn = F.row_number().over(w) - F.lit(1)
+            slotted = keyed.select(
+                "a", "b",
+                F.concat_ws("#", "bkt", (rn / 2).cast("long").cast("string"))
+                .alias("pid"),
+                F.pmod(rn, F.lit(2)).alias("side"),
+            )
+            left = slotted.filter(F.col("side") == 0).select(
+                "pid", F.col("a").alias("u"), F.col("b").alias("v")
+            )
+            right = slotted.filter(F.col("side") == 1).select(
+                "pid", F.col("a").alias("x"), F.col("b").alias("y")
+            )
+            # only complete pairs survive; persisted — it feeds the
+            # candidate projection, the occurrence count and the revert
+            prop = left.join(right, "pid").persist()
+            # proposed replacement: (u,y), (x,v), canonicalized; self-loop
+            # proposals are marked invalid here, uniqueness below.
+            cand = prop.select(
+                "pid",
+                F.least("u", "y").alias("na1"), F.greatest("u", "y").alias("nb1"),
+                F.least("x", "v").alias("na2"), F.greatest("x", "v").alias("nb2"),
+                ((F.col("u") == F.col("y")) | (F.col("x") == F.col("v")))
+                .alias("selfloop"),
+            )
+            paired_ids = cand.select("pid")
+            unpaired = (
+                slotted.join(paired_ids, "pid", "left_anti")
+                .select("a", "b")
+            )
+            news = cand.select(
+                "pid", F.col("na1").alias("na"), F.col("nb1").alias("nb")
+            ).unionByName(
+                cand.select(
+                    "pid", F.col("na2").alias("na"), F.col("nb2").alias("nb")
+                )
+            )
+            # occurrence count of every candidate edge across everything
+            # that could exist after this round: unswapped edges, ALL
+            # candidate edges, and ALL paired ORIGINALS (a reverted pair
+            # restores its originals, and which pairs revert is decided
+            # by this very count — counting originals too makes the rule
+            # conservative instead of circular: a candidate that collides
+            # with anything restorable reverts). count > 1 -> revert.
+            occ = (
+                news.select("na", "nb")
+                .unionByName(unpaired.select(
+                    F.col("a").alias("na"), F.col("b").alias("nb")))
+                .unionByName(prop.select(
+                    F.col("u").alias("na"), F.col("v").alias("nb")))
+                .unionByName(prop.select(
+                    F.col("x").alias("na"), F.col("y").alias("nb")))
+                .groupBy("na", "nb")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            bad_ids = (
+                news.join(occ, ["na", "nb"])
+                .filter(F.col("c") > 1)
+                .select("pid")
+                .unionByName(cand.filter("selfloop").select("pid"))
+                .distinct()
+            )
+            committed = cand.join(bad_ids, "pid", "left_anti")
+            reverted = prop.join(bad_ids, "pid", "left_semi")
+            n_att = cand.count()
+            n_bad = bad_ids.count()
+            attempted += n_att
+            applied += n_att - n_bad
+            e_next = fresh_checkpoint(
+                unpaired
+                .unionByName(committed.select(
+                    F.col("na1").alias("a"), F.col("nb1").alias("b")))
+                .unionByName(committed.select(
+                    F.col("na2").alias("a"), F.col("nb2").alias("b")))
+                .unionByName(reverted.select(
+                    F.col("u").alias("a"), F.col("v").alias("b")))
+                .unionByName(reverted.select(
+                    F.col("x").alias("a"), F.col("y").alias("b")))
+                .repartition(P, "a", "b")
+            )
+            prop.unpersist()
+            e.unpersist()
+            e = e_next
+    return RewireResult(
+        edges=e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        rounds=rounds, swaps_applied=applied, swaps_attempted=attempted,
+    )
+
+
+def rich_club_normalized(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """(k, phi, phi_null, phi_norm) — Colizza-normalized rich-club: the
+    observed coefficient divided by the same statistic on a
+    degree-preserving rewiring. phi_norm > 1: hubs interlink beyond what
+    their degrees force. The null graph has the IDENTICAL degree
+    sequence, so the k range matches row-for-row (N_k is a function of
+    degrees alone); phi_null(k) == 0 yields a NULL phi_norm rather than
+    a division blowup."""
+    from engine.graph import rich_club
+
+    real = rich_club(edges).select("k", "phi", "n_nodes", "n_edges")
+    null_e = double_edge_swap(spark, edges, rounds=rounds, seed=seed).edges
+    null = rich_club(null_e).select("k", F.col("phi").alias("phi_null"))
+    return (
+        real.join(null, "k")
+        .select(
+            "k", "n_nodes", "n_edges", "phi", "phi_null",
+            F.when(F.col("phi_null") != 0.0,
+                   F.col("phi") / F.col("phi_null")).alias("phi_norm"),
+        )
+    )
