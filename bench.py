@@ -376,6 +376,25 @@ def main() -> None:
     log(f"butterflies: {bres.total} (wedged {bres.wedged_side}, "
         f"{bres.wedge_cost} wedges) in {q['butterflies_repo_lang']:.1f}s")
 
+    # Degree-preserving rewiring (engine/algos/rewire.py): the
+    # configuration-model null at bench scale — 3 batch swap rounds over
+    # the full structural graph (each round pairs every edge, proposes
+    # E/2 swaps, commits the non-colliding ones; exact degree sequence
+    # preserved throughout, invariant-tested in test_rewire.py).
+    from engine.algos.rewire import double_edge_swap
+
+    t0 = time.monotonic()
+    rw = double_edge_swap(spark, e, rounds=3)
+    n_rw = rw.edges.count()
+    q["rewire_3rounds"] = time.monotonic() - t0
+    extra["rewire"] = {
+        "swaps_applied": rw.swaps_applied,
+        "swaps_attempted": rw.swaps_attempted,
+        "edges": n_rw,
+    }
+    log(f"rewire: {rw.swaps_applied}/{rw.swaps_attempted} swaps over "
+        f"{n_rw} edges in {q['rewire_3rounds']:.1f}s")
+
     # WL structural refinement (3 rounds on the full structural graph):
     # the per-round cost is the same O(E) gather as PageRank, so this
     # benches the multiset-hash aggregation path specifically

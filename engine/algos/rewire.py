@@ -141,12 +141,15 @@ def double_edge_swap(
                 .groupBy("na", "nb")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
+            # persisted: feeds its own count, the commit anti-join and the
+            # revert semi-join — without it the occ groupBy runs 3x/round
             bad_ids = (
                 news.join(occ, ["na", "nb"])
                 .filter(F.col("c") > 1)
                 .select("pid")
                 .unionByName(cand.filter("selfloop").select("pid"))
                 .distinct()
+                .persist()
             )
             committed = cand.join(bad_ids, "pid", "left_anti")
             reverted = prop.join(bad_ids, "pid", "left_semi")
@@ -166,6 +169,7 @@ def double_edge_swap(
                     F.col("x").alias("a"), F.col("y").alias("b")))
                 .repartition(P, "a", "b")
             )
+            bad_ids.unpersist()
             prop.unpersist()
             e.unpersist()
             e = e_next
