@@ -179,6 +179,58 @@ def double_edge_swap(
     )
 
 
+@dataclass
+class MotifZResult:
+    observed: float
+    null_mean: float
+    null_std: float          # sample std (n-1); 0.0 when replicas agree
+    zscore: float | None     # None when the null has zero variance
+    null_values: list[float]
+
+
+def motif_zscore(
+    spark: SparkSession,
+    edges: DataFrame,
+    stat_fn,
+    replicas: int = 5,
+    rounds: int = 10,
+    seed: int = 42,
+) -> MotifZResult:
+    """Milo et al. Science 2002 motif significance: z = (N_real -
+    mean(N_null)) / std(N_null), the null being degree-preserving
+    rewirings of the SAME graph. ``stat_fn(edges_df) -> number`` is any
+    scalar statistic the engine computes (triangle_count, butterflies
+    total, transitivity, a motif-query count...). This is what turns a
+    raw count into a finding: a clustered graph's triangles sit many
+    sigma above its configuration model; a random graph's do not.
+
+    Driver-side loop over ``replicas`` (a scalar count — each statistic
+    evaluation and each rewiring is fully distributed); replica i uses
+    seed+i, so the whole experiment is reproducible and
+    parallelism-invariant. Zero null variance (the statistic is a
+    function of the degree sequence alone, e.g. edge count or any
+    degree moment) yields zscore=None rather than a division blowup —
+    the honest answer is "this statistic cannot be significant under
+    this null"."""
+    if replicas < 2:
+        raise ValueError(f"motif_zscore: replicas must be >= 2, got {replicas}")
+    observed = float(stat_fn(edges))
+    vals = [
+        float(stat_fn(
+            double_edge_swap(spark, edges, rounds=rounds, seed=seed + i).edges
+        ))
+        for i in range(replicas)
+    ]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    std = var ** 0.5
+    z = (observed - mean) / std if std > 0 else None
+    return MotifZResult(
+        observed=observed, null_mean=mean, null_std=std,
+        zscore=z, null_values=vals,
+    )
+
+
 def rich_club_normalized(
     spark: SparkSession,
     edges: DataFrame,

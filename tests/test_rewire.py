@@ -106,3 +106,30 @@ def test_rich_club_normalized(spark):
             assert r.phi_norm == pytest.approx(r.phi / r.phi_null)
         else:
             assert r.phi_norm is None
+
+
+def test_motif_zscore_triangles(spark):
+    from engine.algos.rewire import motif_zscore
+    from engine.algos.triangles import triangle_count
+
+    stat = lambda e: triangle_count(spark, e)
+    # ring of cliques: triangle count far above its configuration model
+    g = nx.ring_of_cliques(6, 5)
+    res = motif_zscore(spark, edges_df(spark, list(g.edges)), stat,
+                       replicas=3, rounds=6)
+    assert res.observed == 6 * 10          # 6 cliques x C(5,3)
+    assert res.zscore is not None and res.zscore > 2.0
+    assert res.null_mean < res.observed
+    assert len(res.null_values) == 3
+
+    # edge count is a function of the degree sequence alone: the null
+    # cannot vary, and the honest answer is zscore=None, not a blowup
+    res2 = motif_zscore(
+        spark, edges_df(spark, list(g.edges)),
+        lambda e: e.count(), replicas=2, rounds=2,
+    )
+    assert res2.null_std == 0.0 and res2.zscore is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="replicas"):
+        motif_zscore(spark, edges_df(spark, [(0, 1)]), stat, replicas=1)
