@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -77,16 +77,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
-    """Order-insensitive edge-set fingerprint: (count, xor of pair hashes) —
-    xor is overflow-free under ANSI mode and order/partitioning-insensitive.
-    Rows are distinct by construction, so xor-cancellation needs a genuine
-    64-bit collision. Two scalar aggregates — the only per-round traffic."""
-    row = e.agg(
+def _observed_ckpt(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint(eager) with the order-insensitive edge-set
+    fingerprint (count, xor of pair hashes) OBSERVED on the same job —
+    xor is overflow-free under ANSI mode and order/partitioning-
+    insensitive, and rows are distinct by construction so
+    xor-cancellation needs a genuine 64-bit collision. Riding the
+    materialization replaces the r5 shape's dedicated checksum scan per
+    round; the two scalars remain the only per-round driver traffic."""
+    obs = Observation()
+    out = e.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint(eager=True)
+    vals = obs.get
+    return out, (int(vals["n"]), int(vals["h"]))
 
 
 def connected_components(
@@ -110,19 +116,16 @@ def _cc_loop(spark, edges, vertices, max_rounds):
         )
     vids = vertices.select("vid")
 
-    e = (
+    e, prev = _observed_ckpt(  # lineage cut per round, in-memory
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # lineage cut per round, in-memory
     )
-    prev = _checksum(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt, cur = _observed_ckpt(_small_star(_large_star(e)))
         e.unpersist()  # previous round's edge set is never read again
         e = nxt
-        cur = _checksum(e)
         if cur == prev:
             break
         prev = cur

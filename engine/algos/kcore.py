@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -57,12 +57,17 @@ class KCoreResult:
     converged: bool
 
 
-def _state_checksum(est: DataFrame) -> tuple[int, int]:
-    row = est.agg(
+def _observed_ckpt(est: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint(eager) with the state checksum observed on the
+    same job (replaces the r5 shape's dedicated checksum scan/round)."""
+    obs = Observation()
+    out = est.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("vid", "est")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint(eager=True)
+    vals = obs.get
+    return out, (int(vals["n"]), int(vals["h"]))
 
 
 def core_numbers(
@@ -91,12 +96,10 @@ def _kcore_loop(spark, edges, vertices, max_iter):
     )
     # est0 = degree; the h-operator only ever lowers it (guarded by least()
     # below), so the loop is a monotone descent onto the coreness fixpoint.
-    est = (
+    est, prev_cs = _observed_ckpt(
         nbrs.groupBy(F.col("v").alias("vid"))
         .agg(F.count(F.lit(1)).cast("int").alias("est"))
-        .localCheckpoint(eager=True)
     )
-    prev_cs = _state_checksum(est)
 
     w = Window.partitionBy("u").orderBy(F.desc("est"), "v")
     converged = False
@@ -112,12 +115,10 @@ def _kcore_loop(spark, edges, vertices, max_iter):
         hidx = ranked.groupBy(F.col("u").alias("vid")).agg(
             F.max(F.least("est", "rn")).cast("int").alias("h")
         )
-        new_est = (
+        new_est, cs = _observed_ckpt(
             est.join(hidx, "vid", "left")
             .select("vid", F.least("est", F.coalesce("h", F.lit(0))).alias("est"))
-            .localCheckpoint(eager=True)
         )
-        cs = _state_checksum(new_est)
         old, est = est, new_est
         old.unpersist()
         if cs == prev_cs:

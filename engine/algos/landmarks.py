@@ -73,18 +73,38 @@ def pick_landmarks_by_degree(edges: DataFrame, k: int) -> list[int]:
 def _multi_sssp(spark, e, seeds, max_iter):
     """(lid, vid, dist) Bellman–Ford fixpoint for every landmark at once;
     one relax join + one (lid, dst) min per round, scalar-only driver
-    traffic. ``e`` is pre-cleaned (src, dst, w)."""
+    traffic. ``e`` is pre-cleaned (src, dst, w) — it is re-clustered by
+    the relax key ONCE here, so per-round joins never move the O(E) side.
+
+    Each round relaxes only the FRONTIER (rows whose dist improved last
+    round): for synchronous Bellman–Ford a vertex improved at round r-2
+    already offered dist+w at round r-1, so re-offering it cannot improve
+    anything — round count and fixpoint are identical to the dense form,
+    while the relax join shrinks to the rows still moving. The improved
+    count is observed on the state materialization itself (no separate
+    convergence job per round)."""
+    from pyspark.sql import Observation
+
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    dist = (
-        seeds.select("lid", F.col("lid").alias("vid"), F.lit(0.0).alias("dist"))
-        .repartition(P, "vid")
+    e = e.repartition(P, "src").localCheckpoint(eager=True)
+    state = (
+        seeds.select(
+            "lid", F.col("lid").alias("vid"), F.lit(0.0).alias("dist"),
+            F.lit(True).alias("imp"),
+        )
+        .repartition(P, "lid", "vid")
         .localCheckpoint(eager=True)
     )
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
         relaxed = (
-            e.join(dist.select("lid", F.col("vid").alias("src"), "dist"), "src")
+            e.join(
+                state.filter("imp").select(
+                    "lid", F.col("vid").alias("src"), "dist"
+                ),
+                "src",
+            )
             .select(
                 "lid", F.col("dst").alias("vid"),
                 (F.col("dist") + F.col("w")).alias("cand"),
@@ -92,24 +112,34 @@ def _multi_sssp(spark, e, seeds, max_iter):
             .groupBy("lid", "vid")
             .agg(F.min("cand").alias("cand"))
         )
-        merged = dist.join(relaxed, ["lid", "vid"], "full").select(
-            "lid", "vid",
-            F.least(
-                F.coalesce("dist", F.lit(float("inf"))),
-                F.coalesce("cand", F.lit(float("inf"))),
-            ).alias("dist"),
-            (
-                F.col("dist").isNull()
-                | (F.coalesce("cand", F.lit(float("inf"))) < F.col("dist"))
-            ).alias("improved"),
+        obs = Observation()
+        merged = (
+            state.drop("imp").join(relaxed, ["lid", "vid"], "full")
+            .select(
+                "lid", "vid",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce("cand", F.lit(float("inf"))) < F.col("dist"))
+                ).alias("imp"),
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("imp"), 1).otherwise(0)).alias("changed"),
+            )
         )
-        new_dist = merged.localCheckpoint(eager=True)
-        changed = new_dist.filter("improved").limit(1).count()
-        old, dist = dist, new_dist.drop("improved")
+        new_state = merged.localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
+        old, state = state, new_state
         old.unpersist()
         if changed == 0:
             converged = True
             break
+    e.unpersist()
+    dist = state.drop("imp")
     return dist, it, converged
 
 

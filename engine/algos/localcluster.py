@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import pagerank_delta
@@ -123,7 +123,10 @@ def ppr_sweep(
             [(int(v), 1.0) for v in seeds], "vid long, mass double"
         )
 
-    und = symmetrize(edges)  # (src, dst, weight), both directions present
+    # Materialized ONCE: the r5 shape recomputed this O(E) distinct for
+    # every consumer (degree pass, sweep binning, volume count) — four
+    # full symmetrize jobs for one sweep.
+    und = symmetrize(edges).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -151,12 +154,16 @@ def ppr_sweep(
     # The window input is the positive PPR support (push-PPR keeps it
     # local), not V — a single-partition row_number here is deliberate
     # and bounded, same justification as the report-layer top-k windows.
+    sobs = Observation()
     ranked = (
         scored.withColumn("sweep_rank", F.row_number().over(Window.orderBy(*order)))
+        # observed BEFORE the top_k filter: the support count rides the
+        # same job instead of recomputing the score/degree join
+        .observe(sobs, F.count(F.lit(1)).alias("n"))
         .filter(F.col("sweep_rank") <= top_k)
         .localCheckpoint(eager=True)
     )
-    support = scored.count()
+    support = int(sobs.get["n"] or 0)
     k_max = min(support, top_k)
     if k_max == 0:
         raise ValueError(
@@ -204,9 +211,11 @@ def ppr_sweep(
         )
         .localCheckpoint(eager=True)
     )
-    # the rank map's job is done once the sweep table is materialized;
-    # release its checkpoint blocks (the returned `sweep` is caller-owned)
+    # the rank map's and edge view's jobs are done once the sweep table is
+    # materialized; release their checkpoint blocks (the returned `sweep`
+    # is caller-owned)
     ranked.unpersist()
+    und.unpersist()
 
     best = (
         sweep.filter(F.col("conductance").isNotNull())

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -39,12 +39,17 @@ class LPAResult:
     converged: bool
 
 
-def _state_checksum(labels: DataFrame) -> tuple[int, int]:
-    row = labels.agg(
+def _observed_ckpt(labels: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint(eager) with the state checksum observed on the
+    same job (replaces the r5 shape's dedicated checksum scan/round)."""
+    obs = Observation()
+    out = labels.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("vid", "label")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint(eager=True)
+    vals = obs.get
+    return out, (int(vals["n"]), int(vals["h"]))
 
 
 def label_propagation(
@@ -82,8 +87,8 @@ def _lpa_loop(spark, edges, vertices, max_iter):
         .localCheckpoint(eager=True)
     )
 
-    labels = vids.select("vid", F.col("vid").alias("label")).localCheckpoint(eager=True)
-    history: list[tuple[tuple[int, int], DataFrame]] = [(_state_checksum(labels), labels)]
+    labels, cs0 = _observed_ckpt(vids.select("vid", F.col("vid").alias("label")))
+    history: list[tuple[tuple[int, int], DataFrame]] = [(cs0, labels)]
 
     converged = False
     it = 0
@@ -98,13 +103,11 @@ def _lpa_loop(spark, edges, vertices, max_iter):
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b")
         ).select("vid", (-F.col("b.nl")).alias("label"))
         # (d): vertices with no neighbors keep their current label.
-        new_labels = (
+        new_labels, cs = _observed_ckpt(
             vids.join(best, "vid", "left")
             .join(labels.withColumnRenamed("label", "old"), "vid", "left")
             .select("vid", F.coalesce("label", "old").alias("label"))
-            .localCheckpoint(eager=True)
         )
-        cs = _state_checksum(new_labels)
         if cs == history[-1][0]:
             labels = new_labels
             converged = True

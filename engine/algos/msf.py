@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -48,41 +48,39 @@ class MSFResult:
     rounds: int
 
 
-def _ptr_checksum(p: DataFrame) -> tuple[int, int]:
-    """Order-insensitive (count, xor-hash) fingerprint — cc.py's pattern."""
-    row = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("c", "d")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
-
-
 def _pointer_closure(ptr: DataFrame, comps: DataFrame, max_jump: int = 40) -> DataFrame:
     """Resolve every component id in ``comps`` (col ``c``) to its root under
     the selection forest ``ptr`` (c -> d, acyclic after 2-cycle breaking)
-    via pointer doubling: P <- P∘P until fixpoint. Roots map to themselves.
+    via pointer doubling: P <- P∘P until fixpoint (no pointer moved —
+    observed on each jump's own materialization, no separate checksum
+    scan). Roots map to themselves.
     """
     p = fresh_checkpoint(
         comps.join(ptr, "c", "left").select(
             "c", F.coalesce("d", "c").alias("d")
         )
     )
-    prev = _ptr_checksum(p)
     for _ in range(max_jump):
+        obs = Observation()
         nxt = fresh_checkpoint(
             p.alias("a")
             .join(
                 p.select(F.col("c").alias("d"), F.col("d").alias("dd")).alias("b"),
                 "d",
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("d") != F.col("dd"), 1).otherwise(0)
+                ).alias("moved"),
+            )
             .select("c", F.col("dd").alias("d"))
         )
+        moved = int(obs.get["moved"] or 0)
         p.unpersist()
         p = nxt
-        cur = _ptr_checksum(p)
-        if cur == prev:
+        if moved == 0:
             return p
-        prev = cur
     raise RuntimeError(
         f"pointer doubling did not converge in {max_jump} jumps — "
         "selection forest deeper than 2^40 or a cycle survived 2-cycle "
@@ -137,7 +135,12 @@ def _boruvka(spark, edges, vertices, weight_col, max_rounds):
         .agg(F.min("k").alias("k"))
     )
 
-    forest: DataFrame | None = None
+    # Per-round winning edges stay LAZY against their round's checkpointed
+    # ``sel`` (kept cached until the end); the forest is unioned and
+    # materialized ONCE after the loop instead of re-checkpointing a
+    # growing union every round (the r5 shape).
+    chosen_parts: list[DataFrame] = []
+    sels: list[DataFrame] = []
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         # Per-component minimum incident edge under the total order; the
@@ -151,23 +154,23 @@ def _boruvka(spark, edges, vertices, weight_col, max_rounds):
                 F.struct(F.col("k.w"), "k.ou", "k.ov", "u", "v").alias("s"),
             )
         )
+        sobs = Observation()
         sel = fresh_checkpoint(
             cand.groupBy("c").agg(F.min("s").alias("s")).select("c", "s.*")
+            .observe(sobs, F.count(F.lit(1)).alias("n"))
         )
-        n_sel = sel.count()
+        n_sel = int(sobs.get["n"] or 0)
         if n_sel == 0:
             sel.unpersist()
             break
 
-        chosen = sel.select(
-            F.col("ou").alias("u"), F.col("ov").alias("v"), F.col("w").alias("weight")
-        ).distinct()
-        if forest is None:
-            forest = fresh_checkpoint(chosen)
-        else:
-            grown = fresh_checkpoint(forest.unionByName(chosen))
-            forest.unpersist()
-            forest = grown
+        sels.append(sel)
+        chosen_parts.append(
+            sel.select(
+                F.col("ou").alias("u"), F.col("ov").alias("v"),
+                F.col("w").alias("weight"),
+            ).distinct()
+        )
 
         # Selection pseudo-forest: c points across its min edge. A cycle
         # would contain a non-minimal edge selected as some component's
@@ -187,7 +190,6 @@ def _boruvka(spark, edges, vertices, weight_col, max_rounds):
             e.select(F.col("v").alias("c"))
         ).distinct()
         roots = _pointer_closure(ptr, comps)
-        sel.unpersist()
 
         new_labels = fresh_checkpoint(
             labels.join(
@@ -221,11 +223,20 @@ def _boruvka(spark, edges, vertices, weight_col, max_rounds):
         )
     e.unpersist()
 
-    if forest is None:
+    if not chosen_parts:
         forest = spark.createDataFrame([], "u long, v long, weight double")
         total = 0.0
     else:
-        total = float(
-            forest.agg(F.coalesce(F.sum("weight"), F.lit(0.0))).collect()[0][0]
+        acc = chosen_parts[0]
+        for part in chosen_parts[1:]:
+            acc = acc.unionByName(part)
+        tobs = Observation()
+        forest = fresh_checkpoint(
+            acc.observe(
+                tobs, F.coalesce(F.sum("weight"), F.lit(0.0)).alias("tw")
+            )
         )
+        total = float(tobs.get["tw"] or 0.0)
+        for sel in sels:
+            sel.unpersist()
     return MSFResult(edges=forest, labels=labels, total_weight=total, rounds=rounds)

@@ -40,7 +40,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -190,18 +190,20 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.when(i == bucket, rank).otherwise(F.lit(0)).cast("tinyint"),
     )
-    state = verts.select("vid", regs.alias("regs")).localCheckpoint(eager=True)
-    verts.unpersist()  # only needed to build e and the initial state
-
-    def stats(df) -> tuple[int, float]:
-        # one scalar job per round: exact register checksum + N(t) estimate
-        row = df.agg(
+    def observed_ckpt(df) -> tuple[DataFrame, int, float]:
+        # exact register checksum + N(t) estimate ride the state
+        # materialization via Observation — no separate O(V*m) scan/round
+        obs = Observation()
+        out = df.observe(
+            obs,
             F.sum(F.aggregate("regs", F.lit(0), lambda a, r: a + r)).alias("s"),
             F.sum(_estimate(F.col("regs"), m)).alias("n"),
-        ).collect()[0]
-        return int(row["s"]), float(row["n"])
+        ).localCheckpoint(eager=True)
+        vals = obs.get
+        return out, int(vals["s"]), float(vals["n"])
 
-    prev_sum, n0 = stats(state)
+    state, prev_sum, n0 = observed_ckpt(verts.select("vid", regs.alias("regs")))
+    verts.unpersist()  # only needed to build e and the initial state
     history = [n0]
     acc = None
     if harmonic:
@@ -218,14 +220,12 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
     for it in range(1, max_iter + 1):
         # counters pulled across edges (incl. the identity loop = own
         # counter), merged by per-register max — partial-aggregable
-        new_state = (
+        new_state, s, nt = observed_ckpt(
             e.join(state.select(F.col("vid").alias("dst"), "regs"), "dst")
             .groupBy(F.col("src").alias("vid"))
             .agg(*merge)
             .select("vid", F.array(*[f"r{j}" for j in range(m)]).alias("regs"))
-            .localCheckpoint(eager=True)
         )
-        s, nt = stats(new_state)
         history.append(nt)
         if harmonic:
             # vertices at distance exactly `it`: the ball's growth this

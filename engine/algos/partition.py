@@ -55,7 +55,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -134,16 +134,23 @@ def _spinner(
     fwd = edges.select("src", "dst", wexpr.alias("w")).filter(
         F.col("src") != F.col("dst")
     )
+    # Partitioned by DST, not src: the per-round neighbor-histogram join
+    # keys on dst, so this one-time layout removes an O(E) exchange from
+    # EVERY round (labels stay hash(vid)-partitioned and the vid->dst
+    # rename preserves that, so the round's gather join moves nothing).
     und = (
         fwd.union(
             fwd.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
             )
         )
-        .repartition(P, "src")
+        .repartition(P, "dst")
         .localCheckpoint(eager=True)
     )
-    deg = und.groupBy("src").agg(F.sum("w").alias("deg"))
+    # The view is symmetric, so per-vertex incident mass read off the dst
+    # column equals the src-side degree — and groupBy(dst) lands on und's
+    # own partitioning (no exchange).
+    deg = und.groupBy(F.col("dst").alias("src")).agg(F.sum("w").alias("deg"))
     total_deg = float(und.agg(F.sum("w")).collect()[0][0] or 0.0)
     if total_deg == 0:
         und.unpersist()
@@ -172,13 +179,48 @@ def _spinner(
         )
     else:
         start = base.select("vid", hash_part.alias("part"), "deg")
-    labels = fresh_checkpoint(start.repartition(P, "vid"))
+
+    # Partition loads ride each labels materialization as an Observation
+    # (k scalar sums in the same job) instead of a dedicated
+    # groupBy+collect job per round; very large k falls back to the job.
+    use_load_obs = k <= 64
+
+    def _ckpt_labels(df):
+        if not use_load_obs:
+            return fresh_checkpoint(df), None
+        ob = Observation()
+        out = fresh_checkpoint(
+            df.observe(
+                ob,
+                *[
+                    F.sum(F.when(F.col("part") == p, F.col("deg"))).alias(f"l{p}")
+                    for p in range(k)
+                ],
+            )
+        )
+        return out, ob
+
+    def _loads_of(lbls, ob):
+        if ob is None:
+            return {
+                int(r.part): float(r.load)
+                for r in lbls.groupBy("part")
+                .agg(F.sum("deg").alias("load"))
+                .collect()
+            }
+        vals = ob.get
+        return {p: float(vals[f"l{p}"] or 0.0) for p in range(k)}
+
+    labels, labels_obs = _ckpt_labels(start.repartition(P, "vid"))
 
     cut_history: list[float] = []  # weighted; == edge counts when unweighted
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        # Neighbor-partition histogram w(v, p): the O(E) gather.
+        # Neighbor-partition histogram w(v, p): the O(E) gather. und is
+        # hash(dst)-partitioned and labels hash(vid)-partitioned, so the
+        # join moves neither side; the only O(E)-input exchange left in
+        # the round is the partially-aggregated (vid, np) histogram.
         hist = (
             und.join(
                 labels.select(F.col("vid").alias("dst"), F.col("part").alias("np")),
@@ -187,11 +229,9 @@ def _spinner(
             .groupBy(F.col("src").alias("vid"), F.col("np"))
             .agg(F.sum("w").alias("w"))
         )
-        # k partition loads -> driver (k scalars), back as a broadcast row.
-        load_rows = (
-            labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
-        )
-        loads = {int(r.part): float(r.load) for r in load_rows}
+        # k partition loads (observed on the labels materialization —
+        # scalar-only driver traffic), back as a broadcast k-row table.
+        loads = _loads_of(labels, labels_obs)
         load_df = F.broadcast(
             spark.createDataFrame(
                 [(p, loads.get(p, 0.0)) for p in range(k)],
@@ -247,6 +287,7 @@ def _spinner(
         # them is active; a static per-vertex class would let same-class
         # neighbors oscillate forever AND would split opposite-direction
         # movers across rounds, starving the exchange pass.
+        wobs = Observation()
         want = (
             best.filter(
                 (F.col("b.p") != F.col("part"))
@@ -259,9 +300,10 @@ def _spinner(
                 F.col("b.p").alias("new"),
                 (F.col("b.score") - stay_term).alias("gain"),
             )
+            .observe(wobs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_want = want.count()
+        n_want = int(wobs.get["n"] or 0)
         if n_want == 0:
             want.unpersist()
             converged = True
@@ -294,34 +336,56 @@ def _spinner(
                 "new int, rem double",
             )
         )
+        # All the flow pass's driver scalars — candidate count, admitted
+        # count, per-partition admitted in/outflow — ride the ONE flow
+        # materialization as Observations (pre- and post-filter), so the
+        # former three follow-up jobs (two groupBy collects + the blocked
+        # probe) cost nothing.
+        pre_obs = Observation()
+        post_obs = Observation()
         flow = (
             cand.join(rem_df, "new")
+            .observe(pre_obs, F.count(F.lit(1)).alias("n"))
             .withColumn("cum", F.sum("deg").over(wn))
             .filter(F.col("cum") <= F.col("rem"))
             .select("vid", "old", "new", "deg")
+            .observe(
+                post_obs,
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.when(F.col("new") == p, F.col("deg"))).alias(f"in{p}")
+                    for p in range(k)
+                ],
+                *[
+                    F.sum(F.when(F.col("old") == p, F.col("deg"))).alias(f"out{p}")
+                    for p in range(k)
+                ],
+            )
             .localCheckpoint(eager=True)
         )
-        # loads after the flow pass (k scalars each way — driver math)
+        n_cand = int(pre_obs.get["n"] or 0)
+        fv = post_obs.get
+        n_flow = int(fv["n"] or 0)
         loads1 = dict(loads)
-        for r in flow.groupBy("new").agg(F.sum("deg").alias("d")).collect():
-            loads1[int(r.new)] = loads1.get(int(r.new), 0.0) + float(r.d)
-        for r in flow.groupBy("old").agg(F.sum("deg").alias("d")).collect():
-            loads1[int(r.old)] = loads1.get(int(r.old), 0.0) - float(r.d)
-        blocked = cand.join(flow.select("vid"), "vid", "left_anti")
+        for p in range(k):
+            loads1[p] = (
+                loads1.get(p, 0.0)
+                + float(fv[f"in{p}"] or 0.0)
+                - float(fv[f"out{p}"] or 0.0)
+            )
         # early-out: when the flow pass admitted everyone, skip the
         # exchange machinery entirely (checkpoint + pair collect saved —
         # the common case once partitions have headroom)
-        if blocked.limit(1).count() == 0:
-            swaps = flow.select("vid", "new").limit(0).localCheckpoint(
-                eager=True
-            )
-        else:
+        swaps = None
+        if n_cand > n_flow:
+            blocked = cand.join(flow.select("vid"), "vid", "left_anti")
             swaps = _exchange_pass(spark, blocked, loads1, capacity, k)
-        admitted = (
-            flow.select("vid", F.col("new").alias("part2"))
-            .union(swaps.select("vid", F.col("new").alias("part2")))
-        )
-        new_labels = fresh_checkpoint(
+        admitted = flow.select("vid", F.col("new").alias("part2"))
+        if swaps is not None:
+            admitted = admitted.union(
+                swaps.select("vid", F.col("new").alias("part2"))
+            )
+        new_labels, labels_obs = _ckpt_labels(
             labels.join(admitted, "vid", "left")
             .select(
                 "vid",
@@ -334,13 +398,11 @@ def _spinner(
         labels = new_labels
         want.unpersist()
         flow.unpersist()
-        swaps.unpersist()
+        if swaps is not None:
+            swaps.unpersist()
         if track_cut:
             cut_history.append(_wcut(und, labels))
-    final_loads = {
-        int(r.part): float(r.load)
-        for r in labels.groupBy("part").agg(F.sum("deg").alias("load")).collect()
-    }
+    final_loads = _loads_of(labels, labels_obs)
     if not cut_history:
         # track_cut=False, or round-1 convergence broke before any append:
         # the final cut is always measured (the docstring promises [-1])

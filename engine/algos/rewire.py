@@ -15,20 +15,26 @@ Batch form (nx's loop is one swap at a time — unusable at 10^9 edges):
 
 1. **Pair** every edge with a partner: one hash key per edge per round,
    a window over hash BUCKETS (partitionBy bucket — thousands of rows
-   each, fully distributed) pairs adjacent ranks. No global sort.
+   each, fully distributed) pairs adjacent ranks. No global sort, and no
+   self-join either: the partner rides in via ``lead()`` over the SAME
+   window, so pairing costs exactly one exchange (hash(bucket)) + one
+   in-partition sort.
 2. **Propose**: each complete pair (u,v),(x,y) proposes (u,y),(x,v) —
    canonicalized a<b on the undirected simple view.
 3. **Validate set-wise, then commit or revert per pair**: a proposal
    commits iff neither new edge is a self-loop and BOTH new edges are
    globally unique across (all unswapped edges) ∪ (every proposal's new
-   edges) — one groupBy count over that union. Conflicting or colliding
-   proposals revert to their ORIGINAL two edges, so the graph is a valid
-   simple graph with the exact degree sequence after EVERY round (the
-   invariant is structural, not statistical, and is tested as such).
-4. Repeat ``rounds`` times; each round is ~2 shuffles + one checkpoint,
-   and up to E/2 swaps are attempted per round — ``rounds=10`` attempts
-   ~5x more swaps than nx's default nswap=1 and is the knob to trade
-   mixing quality against wall clock.
+   edges) — one groupBy count over that union (the unswapped ∪ paired
+   originals multiset IS the round's input edge set, so the union is
+   just candidates ∪ e). Conflicting or colliding proposals revert to
+   their ORIGINAL two edges, so the graph is a valid simple graph with
+   the exact degree sequence after EVERY round (the invariant is
+   structural, not statistical, and is tested as such).
+4. Repeat ``rounds`` times; each round is ONE Spark action (the state
+   checkpoint — attempt/commit tallies ride it via ``observe``), and up
+   to E/2 swaps are attempted per round — ``rounds=10`` attempts ~5x
+   more swaps than nx's default nswap=1 and is the knob to trade mixing
+   quality against wall clock.
 
 Determinism: all pairing keys are ``xxhash64(edge, seed, round)`` — the
 same (input, seed) rewires identically at any parallelism, so null-model
@@ -44,7 +50,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.algos.loopstate import fresh_checkpoint
@@ -85,42 +91,39 @@ def double_edge_swap(
             keyed = e.select(
                 "a", "b", k.alias("k"), F.pmod(k, F.lit(nbuckets)).alias("bkt")
             )
+            # Pair adjacent ranks with lead() over the SAME window the rank
+            # comes from: one exchange + one sort, no pid self-join. Each
+            # even-rank row carries its partner (x,y) — or NULLs when it is
+            # the odd last row of its bucket (the unpaired edge). The pair
+            # is keyed by its own (u,v) original edge, which is unique
+            # across the round's simple-graph input.
             w = Window.partitionBy("bkt").orderBy("k", "a", "b")
             rn = F.row_number().over(w) - F.lit(1)
-            slotted = keyed.select(
-                "a", "b",
-                F.concat_ws("#", "bkt", (rn / 2).cast("long").cast("string"))
-                .alias("pid"),
-                F.pmod(rn, F.lit(2)).alias("side"),
+            prop = (
+                keyed.select(
+                    F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.lead("a").over(w).alias("x"),
+                    F.lead("b").over(w).alias("y"),
+                    rn.alias("rn"),
+                )
+                .filter(F.pmod(F.col("rn"), F.lit(2)) == 0)
+                .drop("rn")
+                .persist()
             )
-            left = slotted.filter(F.col("side") == 0).select(
-                "pid", F.col("a").alias("u"), F.col("b").alias("v")
-            )
-            right = slotted.filter(F.col("side") == 1).select(
-                "pid", F.col("a").alias("x"), F.col("b").alias("y")
-            )
-            # only complete pairs survive; persisted — it feeds the
-            # candidate projection, the occurrence count and the revert
-            prop = left.join(right, "pid").persist()
             # proposed replacement: (u,y), (x,v), canonicalized; self-loop
             # proposals are marked invalid here, uniqueness below.
-            cand = prop.select(
-                "pid",
+            cand = prop.filter(F.col("x").isNotNull()).select(
+                "u", "v", "x", "y",
                 F.least("u", "y").alias("na1"), F.greatest("u", "y").alias("nb1"),
                 F.least("x", "v").alias("na2"), F.greatest("x", "v").alias("nb2"),
                 ((F.col("u") == F.col("y")) | (F.col("x") == F.col("v")))
                 .alias("selfloop"),
             )
-            paired_ids = cand.select("pid")
-            unpaired = (
-                slotted.join(paired_ids, "pid", "left_anti")
-                .select("a", "b")
-            )
             news = cand.select(
-                "pid", F.col("na1").alias("na"), F.col("nb1").alias("nb")
+                "u", "v", F.col("na1").alias("na"), F.col("nb1").alias("nb")
             ).unionByName(
                 cand.select(
-                    "pid", F.col("na2").alias("na"), F.col("nb2").alias("nb")
+                    "u", "v", F.col("na2").alias("na"), F.col("nb2").alias("nb")
                 )
             )
             # occurrence count of every candidate edge across everything
@@ -129,47 +132,73 @@ def double_edge_swap(
             # restores its originals, and which pairs revert is decided
             # by this very count — counting originals too makes the rule
             # conservative instead of circular: a candidate that collides
-            # with anything restorable reverts). count > 1 -> revert.
+            # with anything restorable reverts). Unswapped ∪ paired
+            # originals is exactly the round's input edge multiset, so the
+            # union is just candidates ∪ e. count > 1 -> revert.
             occ = (
                 news.select("na", "nb")
-                .unionByName(unpaired.select(
+                .unionByName(e.select(
                     F.col("a").alias("na"), F.col("b").alias("nb")))
-                .unionByName(prop.select(
-                    F.col("u").alias("na"), F.col("v").alias("nb")))
-                .unionByName(prop.select(
-                    F.col("x").alias("na"), F.col("y").alias("nb")))
                 .groupBy("na", "nb")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            # persisted: feeds its own count, the commit anti-join and the
-            # revert semi-join — without it the occ groupBy runs 3x/round
-            bad_ids = (
+            bad = (
                 news.join(occ, ["na", "nb"])
                 .filter(F.col("c") > 1)
-                .select("pid")
-                .unionByName(cand.filter("selfloop").select("pid"))
+                .select("u", "v")
+                .unionByName(cand.filter("selfloop").select("u", "v"))
                 .distinct()
-                .persist()
             )
-            committed = cand.join(bad_ids, "pid", "left_anti")
-            reverted = prop.join(bad_ids, "pid", "left_semi")
-            n_att = cand.count()
-            n_bad = bad_ids.count()
-            attempted += n_att
-            applied += n_att - n_bad
-            e_next = fresh_checkpoint(
-                unpaired
-                .unionByName(committed.select(
-                    F.col("na1").alias("a"), F.col("nb1").alias("b")))
-                .unionByName(committed.select(
-                    F.col("na2").alias("a"), F.col("nb2").alias("b")))
-                .unionByName(reverted.select(
-                    F.col("u").alias("a"), F.col("v").alias("b")))
-                .unionByName(reverted.select(
-                    F.col("x").alias("a"), F.col("y").alias("b")))
-                .repartition(P, "a", "b")
+            # ONE join back to the pairs decides commit vs revert; the two
+            # output edges per pair are emitted via explode so the commit
+            # and revert paths share the join. tag: 1 = committed new edge,
+            # 2 = reverted original, 0 = unpaired passthrough — observed on
+            # the single materializing action below, replacing the two
+            # count() jobs per round of the r5 shape.
+            merged = cand.join(
+                bad.withColumn("is_bad", F.lit(True)), ["u", "v"], "left"
+            ).select(
+                F.coalesce(F.col("is_bad"), F.lit(False)).alias("is_bad"),
+                F.explode(
+                    F.when(
+                        F.coalesce(F.col("is_bad"), F.lit(False)),
+                        F.array(
+                            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                        ),
+                    ).otherwise(
+                        F.array(
+                            F.struct(F.col("na1").alias("a"), F.col("nb1").alias("b")),
+                            F.struct(F.col("na2").alias("a"), F.col("nb2").alias("b")),
+                        )
+                    )
+                ).alias("ed"),
+            ).select(
+                F.col("ed.a").alias("a"), F.col("ed.b").alias("b"),
+                F.when(F.col("is_bad"), F.lit(2)).otherwise(F.lit(1)).alias("tag"),
             )
-            bad_ids.unpersist()
+            unpaired = prop.filter(F.col("x").isNull()).select(
+                "u", "v"
+            ).select(
+                F.col("u").alias("a"), F.col("v").alias("b"),
+                F.lit(0).alias("tag"),
+            )
+            obs = Observation(f"rewire_{r}")
+            staged = (
+                merged.unionByName(unpaired)
+                .observe(
+                    obs,
+                    F.sum(F.when(F.col("tag") == 1, 1).otherwise(0)).alias("nc"),
+                    F.sum(F.when(F.col("tag") == 2, 1).otherwise(0)).alias("nr"),
+                )
+                .select("a", "b")
+            )
+            e_next = fresh_checkpoint(staged)
+            vals = obs.get
+            n_comm = int(vals["nc"] or 0) // 2
+            n_rev = int(vals["nr"] or 0) // 2
+            attempted += n_comm + n_rev
+            applied += n_comm
             prop.unpersist()
             e.unpersist()
             e = e_next

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -128,6 +128,7 @@ def _ea_loop(spark, edges, sources, ts_col, dur_col, strict, max_iter, horizon):
         )
         if horizon is not None:
             cand = cand.filter(F.col("cand") <= horizon)
+        obs = Observation()
         merged = (
             arr.join(cand, "vid", "full")
             .select(
@@ -144,10 +145,14 @@ def _ea_loop(spark, edges, sources, ts_col, dur_col, strict, max_iter, horizon):
                     )
                 ).alias("improved"),
             )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("improved"), 1).otherwise(0)).alias("ch"),
+            )
             .localCheckpoint(eager=True)
         )
         new_frontier = merged.filter("improved").select("vid", "t_arr")
-        changed = new_frontier.limit(1).count()
+        changed = int(obs.get["ch"] or 0)
         old, arr = arr, merged.drop("improved")
         old.unpersist()
         frontier = new_frontier

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.loopstate import fresh_checkpoint
@@ -85,21 +85,26 @@ def _kahn(spark, edges, vertices, max_depth, require_dag):
         ).select("vid", F.coalesce("d", F.lit(0)).alias("d"))
     )
 
-    layers: DataFrame | None = None
+    # Per-layer frontiers stay cached until the end; the layer table is
+    # assembled lazily from them and materialized ONCE after the peel
+    # (the r5 shape re-checkpointed the growing union every round). The
+    # frontier count rides the frontier materialization as an Observation.
+    frontiers: list[DataFrame] = []
+    assigned_parts: list[DataFrame] = []
     depth = 0
     for k in range(max_depth + 1):
-        frontier = fresh_checkpoint(deg.filter(F.col("d") == 0).select("vid"))
-        n = frontier.count()
+        fobs = Observation()
+        frontier = fresh_checkpoint(
+            deg.filter(F.col("d") == 0).select("vid")
+            .observe(fobs, F.count(F.lit(1)).alias("n"))
+        )
+        n = int(fobs.get["n"] or 0)
         if n == 0:
             frontier.unpersist()
             break
         depth = k + 1
-        assigned = frontier.select("vid", F.lit(k).alias("layer"))
-        layers = (
-            fresh_checkpoint(assigned)
-            if layers is None
-            else fresh_checkpoint(layers.unionByName(assigned))
-        )
+        frontiers.append(frontier)
+        assigned_parts.append(frontier.select("vid", F.lit(k).alias("layer")))
         # Decrement successors of the peeled layer; drop the peeled rows.
         dec = (
             e.join(frontier.withColumnRenamed("vid", "src"), "src")
@@ -112,7 +117,6 @@ def _kahn(spark, edges, vertices, max_depth, require_dag):
             .select("vid", (F.col("d") - F.coalesce("c", F.lit(0))).alias("d"))
         )
         deg.unpersist()
-        frontier.unpersist()
         deg = new_deg
     else:
         raise ValueError(
@@ -121,8 +125,11 @@ def _kahn(spark, edges, vertices, max_depth, require_dag):
             "(DAG depth exceeds the cap)"
         )
 
-    unlayered = fresh_checkpoint(deg.select("vid"))
-    remaining = unlayered.count()
+    uobs = Observation()
+    unlayered = fresh_checkpoint(
+        deg.select("vid").observe(uobs, F.count(F.lit(1)).alias("n"))
+    )
+    remaining = int(uobs.get["n"] or 0)
     deg.unpersist()
     e.unpersist()
     if remaining > 0 and require_dag:
@@ -131,8 +138,15 @@ def _kahn(spark, edges, vertices, max_depth, require_dag):
             f"input graph is not a DAG: {remaining} vertices on or "
             f"downstream of a directed cycle (e.g. vids {sample})"
         )
-    if layers is None:
+    if not assigned_parts:
         layers = spark.createDataFrame([], "vid long, layer int")
+    else:
+        acc = assigned_parts[0]
+        for part in assigned_parts[1:]:
+            acc = acc.unionByName(part)
+        layers = fresh_checkpoint(acc)
+        for fr in frontiers:
+            fr.unpersist()
     return TopoResult(
         layers=layers,
         unlayered=unlayered,

@@ -77,7 +77,10 @@ def wl_labels(
         raise ValueError(f"wl_labels: rounds must be >= 0, got {rounds}")
     with iterative_conf(spark):
         P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        e = _prep(edges, gid_col, directed).repartition(P, "src")
+        # Partitioned by the JOIN key of the per-round gather (gid, dst):
+        # rounds then move only the O(V) label state, never the edge table
+        # (the r5 shape repartitioned by src and re-exchanged O(E)/round).
+        e = _prep(edges, gid_col, directed).repartition(P, _GID, "dst")
         e = e.localCheckpoint(eager=True)
         # Vertex set = src UNION dst (directed mode has pure sinks with no
         # out-edge — they must still carry a label or their in-neighbors'
@@ -97,7 +100,7 @@ def wl_labels(
                 "vid",
                 F.xxhash64(F.coalesce("deg", F.lit(0))).alias("wl"),
             )
-            .repartition(P, "vid")
+            .repartition(P, _GID, "vid")
         )
         for _ in range(rounds):
             nbr = (
@@ -129,7 +132,7 @@ def wl_labels(
                         F.coalesce("mc", F.lit(0)),
                     ).alias("wl"),
                 )
-                .repartition(P, "vid")
+                .repartition(P, _GID, "vid")
             )
             labels.unpersist()
             labels = new_labels
