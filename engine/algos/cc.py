@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -45,14 +45,18 @@ def _sym(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """For each u over the symmetric view: m = min(Γ(u) ∪ {u}); emit (v, m)
     for every neighbor v > u. ONE distinct (on the output) bounds the edge
-    multiset per round; min-aggregation is duplicate-insensitive."""
+    multiset per round.
+
+    The per-u minimum rides a whole-partition window over the SAME
+    exchange the neighbor rows need anyway — the r5 shape's
+    groupBy-then-join paid a second full exchange of the symmetric view
+    to bring the min back to its rows. Window.partitionBy with no
+    orderBy needs only a sort on u, and min is duplicate-insensitive."""
     s = _sym(e)
-    m = s.groupBy("u").agg(F.min("v").alias("mn")).select(
-        "u", F.least("mn", F.col("u")).alias("m")
-    )
+    mn = F.min("v").over(Window.partitionBy("u"))
     return (
-        s.filter(F.col("v") > F.col("u"))
-        .join(m, "u")
+        s.select("u", "v", F.least(mn, F.col("u")).alias("m"))
+        .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -61,15 +65,16 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient to (max,min); for each u: m = min(Γ≤(u) ∪ {u}); emit (v, m)
-    for v in Γ≤(u) ∪ {u}, dropping the m self-loop. The orientation is a
-    map-side projection (no distinct — duplicates collapse in the output
-    distinct, and the min-agg ignores them)."""
+    for v in Γ≤(u) ∪ {u}, dropping the m self-loop. Same single-exchange
+    window-min as ``_large_star``; the self edge (u, m) is emitted from
+    every row of u and collapses in the output distinct."""
     o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m < u
-    nbr_edges = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    self_edges = m.select("u", F.col("m").alias("v"))
+    m = F.min("v").over(Window.partitionBy("u"))  # all v < u, so m < u
+    both = o.select("u", "v", m.alias("m"))
+    nbr_edges = both.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = both.select("u", F.col("m").alias("v"))
     return (
         nbr_edges.unionByName(self_edges)
         .filter(F.col("u") != F.col("v"))

@@ -241,7 +241,17 @@ def save_edges_bucketed(
                 "src", F.col("src").cast("int")
             ).withColumn("dst", F.col("dst").cast("int"))
     (
-        edges.write.mode("overwrite")
+        # Cluster by the bucket key BEFORE the write: the bucket id is
+        # pmod(Murmur3(src), buckets) — the same function repartition
+        # uses — so each writer task holds exactly one bucket and emits
+        # ONE file. Without it every input partition writes into every
+        # bucket: up to partitions x buckets small files, each task
+        # sorting all its bucket groups (guide §6: small files hurt the
+        # writer AND every subsequent scan). The repartition runs after
+        # the narrowing cast so the write-side hash matches the int
+        # layout readers see.
+        edges.repartition(buckets, "src")
+        .write.mode("overwrite")
         .bucketBy(buckets, "src")
         .sortBy("src", "dst")
         .format("parquet")
