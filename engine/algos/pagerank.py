@@ -394,21 +394,22 @@ def _pagerank_loop(
         )
     else:
         ranks = base.select("vid", "p", "dang", p_col.alias("value"))
-    ranks = ranks.localCheckpoint(eager=True)
+    robs = Observation("pr_init")
+    ranks = ranks.observe(
+        robs, F.sum(F.when(F.col("dang"), F.col("value"))).alias("dm")
+    ).localCheckpoint(eager=True)
 
     # Dangling mass for the first loop iteration. On resume, reuse the exact
     # value the crashed run observed (committed in the manifest) — a fresh
     # float aggregation's partial-sum order is partition-order dependent, so
     # recomputing could drift at the ulp level from the uninterrupted run
-    # (ADVICE r2). Fresh runs / pre-r3 manifests compute it in one small job;
+    # (ADVICE r2). Fresh runs / pre-r3 manifests read it off the initial
+    # state's own materialization (the Observation above — no extra job);
     # afterwards it rides along in each iteration's Observation.
     if resumed_from is not None and metrics and "dang_mass" in metrics[-1]:
         dangling = float(metrics[-1]["dang_mass"])
     else:
-        dangling = float(
-            ranks.agg(F.sum(F.when(F.col("dang"), F.col("value")))).collect()[0][0]
-            or 0.0
-        )
+        dangling = float(robs.get["dm"] or 0.0)
 
     converged = False
     delta = float("inf")
@@ -719,17 +720,20 @@ def _delta_loop(
         broadcast_state = n <= BROADCAST_STATE_MAX_V
     bcast = F.broadcast if broadcast_state else (lambda df: df)
 
+    sobs = Observation("prd_init")
+    resid_mass = F.sum(F.abs(F.col("resid"))).alias("rm")
     if initial_ranks is None:
         # Cold start: value = 0, resid = the constant term (1-alpha)p.
         state = base.select(
             "vid", "p", "dang", "odeg",
             F.lit(0.0).alias("value"),
             ((1.0 - alpha) * p_col).alias("resid"),
-        ).localCheckpoint(eager=True)
+        ).observe(sobs, resid_mass).localCheckpoint(eager=True)
     else:
         # Warm start: resid0 = (1-alpha)p + alpha*G v0 - v0, the exact
         # equation residual of the prior vector — one full O(E) gather,
         # after which the frontier is only what the graph change disturbed.
+        vobs = Observation("prd_warm")
         v0 = (
             base.join(
                 initial_ranks.select("vid", F.col("value").alias("iv")),
@@ -739,12 +743,13 @@ def _delta_loop(
                 "vid", "p", "dang", "odeg",
                 F.coalesce("iv", F.lit(0.0)).alias("value"),
             )
+            .observe(
+                vobs,
+                F.sum(F.when(F.col("dang"), F.col("value"))).alias("dm"),
+            )
             .localCheckpoint(eager=True)
         )
-        dang0 = float(
-            v0.agg(F.sum(F.when(F.col("dang"), F.col("value")))).collect()[0][0]
-            or 0.0
-        )
+        dang0 = float(vobs.get["dm"] or 0.0)
         contribs = (
             norm.join(bcast(v0.select(F.col("vid").alias("src"), "value")), "src")
             .groupBy("dst")
@@ -760,12 +765,14 @@ def _delta_loop(
                     - F.col("value")
                 ).alias("resid"),
             )
+            .observe(sobs, resid_mass)
             .localCheckpoint(eager=True)
         )
         v0.unpersist()
     base.unpersist()
 
-    R = float(state.agg(F.sum(F.abs(F.col("resid")))).collect()[0][0] or 0.0)
+    # Initial residual mass rides the state materialization (no extra job).
+    R = float(sobs.get["rm"] or 0.0)
     D = 0.0  # dangling mass pushed last round (alpha-scaled), lands next round
     stop = tol * (1.0 - alpha)
     converged = False
