@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from engine.algos.pagerank import iterative_conf
@@ -75,36 +75,39 @@ def _brandes(spark, edges, pivots, max_iter):
     piv = pivots.select(F.col("vid").alias("s")).distinct()
     n_piv = piv.count()
 
-    # -------- forward: settled (s, vid, dist, sigma), frontier = last layer
-    settled = _ckpt(
+    # -------- forward: per-layer checkpoints (the settled set is their
+    # LAZY union — the r5 shape re-materialized the whole growing settled
+    # state every layer), frontier = last layer; the frontier count rides
+    # each layer's own materialization as an Observation.
+    layer0 = _ckpt(
         piv.select(
             "s", F.col("s").alias("vid"), F.lit(0).alias("dist"),
             F.lit(1.0).alias("sigma"),
         )
     )
-    frontier = settled
+    layers: list[DataFrame] = [layer0]
+    settled = layer0
+    frontier = layer0
     depth = 0
     exhausted = False
     for depth in range(1, max_iter + 1):
-        nxt = (
+        obs = Observation()
+        nxt = _ckpt(
             frontier.join(e.withColumnRenamed("src", "vid"), "vid")
             .groupBy("s", F.col("dst").alias("vid"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(settled.select("s", "vid"), ["s", "vid"], "anti")
             .select("s", "vid", F.lit(depth).alias("dist"), "sigma")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        nxt = _ckpt(nxt)
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"] or 0) == 0:
             nxt.unpersist()
             depth -= 1
             exhausted = True
             break
-        prev_settled, prev_frontier = settled, frontier
-        settled = _ckpt(settled.unionByName(nxt))
+        layers.append(nxt)
+        settled = settled.unionByName(nxt)
         frontier = nxt
-        prev_settled.unpersist()
-        if prev_frontier is not prev_settled:
-            prev_frontier.unpersist()
     if not exhausted:
         # The loop burned every iteration without the frontier dying. A
         # truncated forward phase means the backward accumulation runs over
@@ -133,13 +136,12 @@ def _brandes(spark, edges, pivots, max_iter):
     # each round touches two layers, never the whole (s, vid) state; the
     # finalized layers union at the end.
     done_layers: list[DataFrame] = []
-    above = _ckpt(
-        settled.filter(F.col("dist") == depth)
-        .select("s", "vid", "sigma", F.lit(0.0).alias("delta"))
-    )
+    # Each BFS layer is its own checkpoint, so "the rows at depth d" is a
+    # direct reference — no filter scan of the whole settled state.
+    above = layers[depth].select("s", "vid", "sigma", F.lit(0.0).alias("delta"))
     done_layers.append(above)
     for d in range(depth - 1, -1, -1):
-        layer = settled.filter(F.col("dist") == d)
+        layer = layers[d]
         contrib = (
             layer.join(e.withColumnRenamed("src", "vid"), "vid")
             .join(
@@ -179,6 +181,7 @@ def _brandes(spark, edges, pivots, max_iter):
     )
     for df in done_layers:
         df.unpersist()
-    settled.unpersist()
+    for df in layers:
+        df.unpersist()
     e.unpersist()
     return BetweennessResult(out, n_piv, depth)

@@ -71,6 +71,30 @@ def test_balance_and_cut_improvement_random_communities(spark):
     res.assignment.unpersist()
 
 
+def test_reported_loads_match_assignment(spark):
+    # partition loads now ride the labels materialization as an
+    # Observation (k scalar sums); ground-truth them against a direct
+    # degree aggregation over the returned assignment. Unweighted degrees
+    # are small integers, so the double sums are exact in any order.
+    g = nx.gnm_random_graph(80, 320, seed=12)
+    df = edges_df(spark, list(g.edges))
+    res = partition_graph(spark, df, k=4, max_rounds=4, track_cut=False)
+    und = df.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    deg_rows = (
+        und.select(F.col("src").alias("vid"))
+        .unionByName(und.select(F.col("dst").alias("vid")))
+        .groupBy("vid").count().collect()
+    )
+    deg = {r.vid: float(r["count"]) for r in deg_rows}
+    asg = {r.vid: r.part for r in res.assignment.collect()}
+    expect: dict[int, float] = {}
+    for vid, part in asg.items():
+        expect[part] = expect.get(part, 0.0) + deg.get(vid, 0.0)
+    got = {p: l for p, l in res.loads.items() if l != 0.0}
+    assert got == expect
+    res.assignment.unpersist()
+
+
 def test_deterministic_reruns(spark):
     g = nx.gnm_random_graph(60, 240, seed=7)
     df = edges_df(spark, list(g.edges()))

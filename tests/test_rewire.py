@@ -65,6 +65,23 @@ def test_actually_rewires_and_mixes(spark):
     assert sorted(dict(g2.degree).values()) == sorted(dict(g.degree).values())
 
 
+def test_swap_tallies_match_edge_diff(spark):
+    # the applied/attempted tallies now ride the state materialization as
+    # an Observation; ground-truth them against the edge-set diff: every
+    # committed pair removes its 2 originals and adds 2 new edges that are
+    # provably disjoint from the input set (a candidate colliding with ANY
+    # input edge reverts), so after one round |after \ before| == 2*applied.
+    g = nx.gnm_random_graph(60, 180, seed=3)
+    e = edges_df(spark, list(g.edges))
+    before = _edge_set(e.select(F.least("src", "dst").alias("src"),
+                                F.greatest("src", "dst").alias("dst")))
+    res = double_edge_swap(spark, e, rounds=1, seed=11)
+    after = _edge_set(res.edges)
+    assert len(after - before) == 2 * res.swaps_applied
+    assert len(before - after) == 2 * res.swaps_applied
+    assert res.swaps_attempted >= res.swaps_applied
+
+
 def test_bit_determinism_and_seed_sensitivity(spark):
     g = nx.gnm_random_graph(40, 120, seed=5)
     e = edges_df(spark, list(g.edges))
