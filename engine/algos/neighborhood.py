@@ -190,19 +190,21 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.when(i == bucket, rank).otherwise(F.lit(0)).cast("tinyint"),
     )
-    def observed_ckpt(df) -> tuple[DataFrame, int, float]:
+    def observed_ckpt(df, sum_expr, est_expr) -> tuple[DataFrame, int, float]:
         # exact register checksum + N(t) estimate ride the state
         # materialization via Observation — no separate O(V*m) scan/round
         obs = Observation()
         out = df.observe(
-            obs,
-            F.sum(F.aggregate("regs", F.lit(0), lambda a, r: a + r)).alias("s"),
-            F.sum(_estimate(F.col("regs"), m)).alias("n"),
+            obs, F.sum(sum_expr).alias("s"), F.sum(est_expr).alias("n")
         ).localCheckpoint(eager=True)
         vals = obs.get
         return out, int(vals["s"]), float(vals["n"])
 
-    state, prev_sum, n0 = observed_ckpt(verts.select("vid", regs.alias("regs")))
+    state, prev_sum, n0 = observed_ckpt(
+        verts.select("vid", regs.alias("regs")),
+        F.aggregate("regs", F.lit(0), lambda a, r: a + r),
+        _estimate(F.col("regs"), m),
+    )
     verts.unpersist()  # only needed to build e and the initial state
     history = [n0]
     acc = None
@@ -217,15 +219,42 @@ def _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic=False):
     merge = [
         F.max(F.col("regs").getItem(j)).alias(f"r{j}") for j in range(m)
     ]
+    # Per-round stats computed COLUMN-WISE on the merge aggregate's
+    # r0..r{m-1} columns (whole-stage codegen) instead of higher-order
+    # array folds, which Spark evaluates interpreted per element — the
+    # accumulation keeps the folds' left-to-right order, so the observed
+    # values are bit-identical to the r5 shape's.
+    # Terms are pre-cast so the long +-chains resolve in one analyzer
+    # pass (mixed-type chains cost one type-coercion fixpoint iteration
+    # per nesting level and blow the resolution cap at m=256).
+    col_sum = F.lit(0)
+    pow_sum = F.lit(0.0)
+    zeros_cnt = F.lit(0)
+    for j in range(m):
+        rj = F.col(f"r{j}")
+        col_sum = col_sum + rj.cast("int")
+        pow_sum = pow_sum + F.pow(F.lit(2.0), (-rj).cast("double"))
+        zeros_cnt = zeros_cnt + F.when(rj == 0, 1).otherwise(0)
+    raw_c = F.lit(_alpha(m) * m * m) / pow_sum
+    est_cols = F.when(
+        (raw_c <= F.lit(2.5 * m)) & (zeros_cnt > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros_cnt),
+    ).otherwise(raw_c)
+    regs_arr = F.array(*[f"r{j}" for j in range(m)]).alias("regs")
     for it in range(1, max_iter + 1):
         # counters pulled across edges (incl. the identity loop = own
         # counter), merged by per-register max — partial-aggregable
-        new_state, s, nt = observed_ckpt(
+        obs = Observation()
+        new_state = (
             e.join(state.select(F.col("vid").alias("dst"), "regs"), "dst")
             .groupBy(F.col("src").alias("vid"))
             .agg(*merge)
-            .select("vid", F.array(*[f"r{j}" for j in range(m)]).alias("regs"))
+            .observe(obs, F.sum(col_sum).alias("s"), F.sum(est_cols).alias("n"))
+            .select("vid", regs_arr)
+            .localCheckpoint(eager=True)
         )
+        vals = obs.get
+        s, nt = int(vals["s"]), float(vals["n"])
         history.append(nt)
         if harmonic:
             # vertices at distance exactly `it`: the ball's growth this
