@@ -83,10 +83,13 @@ def butterflies(
 
 
 def _wedge_cost(deg: DataFrame) -> int:
+    # Pure integer arithmetic (ADVICE r5): deg*(deg-1) is even per row, so
+    # summing longs and halving on the driver is exact at any scale — the
+    # former double sum silently lost exactness past 2^53 wedges.
     row = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("c")
+        F.sum(F.col("deg") * (F.col("deg") - 1)).alias("c")
     ).collect()[0]
-    return int(row["c"] or 0)
+    return int(row["c"] or 0) // 2
 
 
 def _butterflies(spark, edges, max_center_degree, per_vertex):
@@ -98,8 +101,26 @@ def _butterflies(spark, edges, max_center_degree, per_vertex):
     )
     deg_src = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg_dst = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
-    cost_src_centers = _wedge_cost(deg_src)   # wedges if centers = src
-    cost_dst_centers = _wedge_cost(deg_dst)   # wedges if centers = dst
+    if max_center_degree is not None and max_center_degree < 2:
+        raise ValueError(
+            f"butterflies: max_center_degree must be >= 2 (a center "
+            f"needs 2 neighbors to form a wedge), got {max_center_degree}"
+        )
+    if max_center_degree is None:
+        cost_src_centers = _wedge_cost(deg_src)   # wedges if centers = src
+        cost_dst_centers = _wedge_cost(deg_dst)   # wedges if centers = dst
+    else:
+        # Side selection on the CAPPED degree tables (ADVICE r5): with a
+        # cap, the wedge work each side would actually do excludes its
+        # over-cap hubs, and a single hub must not force the choice of
+        # the more expensive side. Which vertices end up skipped is
+        # therefore side-dependent (documented in the result contract).
+        cost_src_centers = _wedge_cost(
+            deg_src.filter(F.col("deg") <= max_center_degree)
+        )
+        cost_dst_centers = _wedge_cost(
+            deg_dst.filter(F.col("deg") <= max_center_degree)
+        )
 
     if cost_src_centers <= cost_dst_centers:
         side, deg_c = "src", deg_src
@@ -110,11 +131,6 @@ def _butterflies(spark, edges, max_center_degree, per_vertex):
 
     centers_skipped = 0
     if max_center_degree is not None:
-        if max_center_degree < 2:
-            raise ValueError(
-                f"butterflies: max_center_degree must be >= 2 (a center "
-                f"needs 2 neighbors to form a wedge), got {max_center_degree}"
-            )
         centers_skipped = int(
             deg_c.filter(F.col("deg") > max_center_degree).count()
         )
@@ -143,29 +159,32 @@ def _butterflies(spark, edges, max_center_degree, per_vertex):
     )
     pair_cnt = wedges.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cw"))
 
+    # C(cw, 2) sums in pure integers (ADVICE r5): cw*(cw-1) is even per
+    # row, so long sums halved exactly — no double rounding past 2^53.
     if not per_vertex:
         row = pair_cnt.agg(
-            F.sum(F.col("cw") * (F.col("cw") - 1) / 2).alias("b")
+            F.sum(F.col("cw") * (F.col("cw") - 1)).alias("b")
         ).collect()[0]
-        total = int(row["b"] or 0)
+        total = int(row["b"] or 0) // 2
         w.unpersist()
         e.unpersist()
         return ButterflyResult(total, side, kept_cost, centers_skipped, None)
 
     pair_cnt = pair_cnt.localCheckpoint(eager=True)
     row = pair_cnt.agg(
-        F.sum(F.col("cw") * (F.col("cw") - 1) / 2).alias("b")
+        F.sum(F.col("cw") * (F.col("cw") - 1)).alias("b")
     ).collect()[0]
-    total = int(row["b"] or 0)
+    total = int(row["b"] or 0) // 2
 
     # Non-center layer: pair (x, y) with cw common centers puts BOTH x
-    # and y in C(cw, 2) butterflies.
-    bf_pair = F.col("cw") * (F.col("cw") - 1) / 2
+    # and y in C(cw, 2) butterflies. cw*(cw-1) is even per row, so the
+    # per-row integer halving is exact and the credit sum stays long.
+    bf_pair = F.expr("cw * (cw - 1) DIV 2")
     noncenter = (
         pair_cnt.select(F.col("x").alias("vid"), bf_pair.alias("bf"))
         .unionByName(pair_cnt.select(F.col("y").alias("vid"), bf_pair.alias("bf")))
         .groupBy("vid")
-        .agg(F.sum("bf").cast("long").alias("butterflies"))
+        .agg(F.sum("bf").alias("butterflies"))
     )
     # Center layer: center r of wedge (x, r, y) joins each of the other
     # cw-1 common centers of (x, y) in one butterfly — credit cw-1 per

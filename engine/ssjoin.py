@@ -66,7 +66,13 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger("verum_spark.ssjoin")
 
-_EPS = 1e-9  # pruning slack: never lose a boundary pair to IEEE rounding
+_EPS = 1e-9  # RELATIVE pruning slack: never lose a boundary pair to IEEE
+# rounding. The double rounding error of size*t grows with the operand
+# (ulp ~2e-9 at 1e7), so the slack is scaled by the size term it guards
+# (ADVICE r5) — valid as long as _EPS * size < 1, i.e. sizes below 1e9,
+# comfortably past any real token set. Over-slack is recall-safe: it can
+# only lengthen the prefix / lower the candidate bars, and the final
+# verify is exact set arithmetic.
 
 
 def jaccard_join_sets(
@@ -125,7 +131,9 @@ def jaccard_join_sets(
     # exactly-representable boundary (t*size integral) never over-ceils.
     p = (
         F.col("size")
-        - F.ceil(F.col("size") * F.lit(t) - F.lit(_EPS)).cast("int")
+        - F.ceil(
+            F.col("size") * F.lit(t) - F.lit(_EPS) * F.col("size")
+        ).cast("int")
         + F.lit(1)
     )
     prefix = ordered.select(
@@ -151,7 +159,7 @@ def jaccard_join_sets(
     )
     min_overlap = F.ceil(
         (F.col("size_a") + F.col("size_b")) * F.lit(t / (1.0 + t))
-        - F.lit(_EPS)
+        - F.lit(_EPS) * (F.col("size_a") + F.col("size_b"))
     )
     pos_ubound = F.lit(1) + F.least(
         F.col("size_a") - F.col("pos_a") - F.lit(1),
@@ -162,7 +170,9 @@ def jaccard_join_sets(
         .filter(F.col("a") < F.col("b"))
         .filter(
             F.least("size_a", "size_b")
-            >= F.greatest("size_a", "size_b") * F.lit(t) - F.lit(_EPS)
+            >= F.greatest("size_a", "size_b")
+            * F.lit(t)
+            - F.lit(_EPS) * F.greatest("size_a", "size_b")
         )
         .filter(pos_ubound >= min_overlap)
         .select("a", "b")
