@@ -57,7 +57,11 @@ class ButterflyResult:
     total: int
     wedged_side: str            # "src" or "dst": the CENTER side used
     wedge_cost: int             # Σ C(deg, 2) actually generated
-    centers_skipped: int        # hubs excluded by max_center_degree
+    # hubs excluded by max_center_degree. Side-DEPENDENT: the side is
+    # chosen by capped wedge cost, and only the chosen center side's
+    # over-cap hubs are skipped — so what the exact-lower-bound excludes
+    # depends on that choice.
+    centers_skipped: int
     per_vertex: DataFrame | None  # (vid, side, butterflies), see below
 
 

@@ -160,6 +160,22 @@ def train_doc_classifier(
         model = lr.fit(data)
     finally:
         data.unpersist()  # L-BFGS is done with the checkpointed matrix
+    # Drop the training summary: it pins the live SparkSession inside the
+    # model, and scoring closures serialize the model — with the session
+    # attached, task serialization fails whenever the session has ever run
+    # an observed query (the lazy ObservationManager field is initialized
+    # by the first Dataset.observe and is not serializable; the engine's
+    # iterative loops observe their convergence scalars, so that is the
+    # NORMAL session state). The summary is training-time diagnostics the
+    # engine never reads; holdout metrics come from evaluate_auc.
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        jnone = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        model._java_obj.setSummary(jnone)
+    except Exception:  # pragma: no cover — summary stays, scoring may
+        pass           # still work when no observed query ever ran
     return DocClassifier(model=model, feature_cols=tuple(feature_cols))
 
 
