@@ -100,6 +100,10 @@ def main() -> None:
     elif op == "hyperball":
         from engine.algos.neighborhood import neighborhood_function
         neighborhood_function(spark, e, p=4).balls.count()
+    elif op == "betweenness":
+        from engine.algos.betweenness import betweenness
+        piv = v.filter(F.col("vtype") == "repo").orderBy("vid").limit(4).select("vid")
+        betweenness(spark, e, pivots=piv).scores.unpersist()
     elif op == "sssp":
         from engine.algos.landmarks import build_distance_oracle
         o = build_distance_oracle(spark, e, n_landmarks=2, weighted=False)
