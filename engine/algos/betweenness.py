@@ -51,7 +51,8 @@ def betweenness(
     """Accumulated Brandes dependency over the pivot set (every vertex if
     ``pivots`` is None — exact betweenness, affordable only on small
     graphs; pass a sampled (vid) DataFrame at scale)."""
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (see pagerank.loop_shuffle_partitions).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _brandes(spark, edges, pivots, max_iter)
 
 

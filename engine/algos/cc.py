@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine.algos.pagerank import iterative_conf
+from engine.algos.pagerank import iterative_conf, set_loop_partitions
 
 
 @dataclass
@@ -126,6 +126,10 @@ def _cc_loop(spark, edges, vertices, max_rounds):
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Scale-adaptive loop partitioning from the edge count the setup
+    # materialization just observed (no extra job); the star-step rounds
+    # build fresh plans, so no layout contract spans the conf change.
+    set_loop_partitions(spark, prev[0])
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         nxt, cur = _observed_ckpt(_small_star(_large_star(e)))

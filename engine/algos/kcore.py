@@ -80,7 +80,10 @@ def core_numbers(
 
     ``vertices``: optional (vid, ...) to include edge-less vertices, same
     contract as the other algorithms."""
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (pagerank.loop_shuffle_partitions)
+    # needs the size before the nbrs layout commits a partition count; the
+    # symmetric view doubles the rows (row_bytes=32 ~ 2 x 16B edge rows).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _kcore_loop(spark, edges, vertices, max_iter)
 
 

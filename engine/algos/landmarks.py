@@ -85,7 +85,12 @@ def _multi_sssp(spark, e, seeds, max_iter):
     convergence job per round)."""
     from pyspark.sql import Observation
 
-    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from engine.algos.pagerank import set_loop_partitions
+
+    # Scale-adaptive loop partitioning; both callers pass a materialized
+    # checkpoint, so the count is a cached scan, and both call from inside
+    # iterative_conf (which restores the session value on exit).
+    P = set_loop_partitions(spark, e.count(), row_bytes=32)
     e = e.repartition(P, "src").localCheckpoint(eager=True)
     state = (
         seeds.select(

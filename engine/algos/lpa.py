@@ -58,7 +58,9 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
 ) -> LPAResult:
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning; size known before the nbrs/vids
+    # layouts commit a partition count (symmetric view: row_bytes=32).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _lpa_loop(spark, edges, vertices, max_iter)
 
 

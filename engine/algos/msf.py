@@ -100,7 +100,8 @@ def minimum_spanning_forest(
     parallel edges collapse to their cheapest. Ties are broken by the
     total order (weight, min vid, max vid), which fixes a unique forest.
     """
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (see pagerank.loop_shuffle_partitions).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _boruvka(spark, edges, vertices, weight_col, max_rounds)
 
 

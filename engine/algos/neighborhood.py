@@ -147,6 +147,12 @@ def neighborhood_function(
     so HLL jitter never contributes negative mass)."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4, 12], got {p}")
+    # NOT scale-adapted (pagerank.loop_shuffle_partitions): the register
+    # merge is the rare loop whose per-task state is wide (m-byte arrays
+    # per key) — halving the partition count doubles the per-task hash-agg
+    # footprint, and the A/B at bench scale measured the adapted loop
+    # SLOWER (38-46 s vs 33.5 s, bench_extra r6); the session's 2x-cores
+    # value stands here.
     with iterative_conf(spark), _no_inferred_filters(spark):
         return _hyperball_loop(spark, edges, p, max_iter, undirected, harmonic)
 

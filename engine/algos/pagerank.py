@@ -62,19 +62,98 @@ from engine.graph import hub_vertices
 from engine.io import RunCheckpoint
 
 
+# Target bytes per loop shuffle partition (guide §2.2: 100 MB - 1 GB per
+# reduce partition). Overridable per deployment via the conf key below.
+LOOP_TARGET_PARTITION_BYTES = 128 << 20
+LOOP_TARGET_PARTITION_CONF = "spark.verum.loop.targetPartitionBytes"
+
+
+def loop_shuffle_partitions(
+    spark: SparkSession, rows: int, row_bytes: int = 16
+) -> int:
+    """Scale-adaptive shuffle partition count for the iteration loops.
+
+    The loops run with AQE off (``iterative_conf``), so the static count is
+    binding — and the session default is sized for the whole relational
+    surface (2x cores locally; O(total-input-bytes/128MB) on a cluster,
+    per engine.session), not for one loop's O(E) working set. Derive the
+    loop's count from ITS input instead (guide §2.2 "fewer, larger reduce
+    partitions"): ceil(rows*row_bytes / target), floored at
+    ``defaultParallelism`` (every core gets work at any size) and capped at
+    the session value (the deployment's chosen upper bound). At bench
+    scale (3.45M edges, 32 cores) the floor binds — 32 partitions measured
+    0.71 s vs 1.2 s per pagerank iteration against the 2x-cores default
+    (interleaved A/B, tools/probe_iter.py); at cluster scale the bytes
+    term dominates and grows with the data, so tasks stay ~target-sized.
+    """
+    conf = spark.conf
+    target = int(conf.get(LOOP_TARGET_PARTITION_CONF,
+                          str(LOOP_TARGET_PARTITION_BYTES)))
+    cores = _executor_cores(spark)
+    session_p = int(conf.get("spark.sql.shuffle.partitions"))
+    by_bytes = -(-int(rows) * row_bytes // max(target, 1))  # ceil div
+    return max(1, min(max(by_bytes, cores), max(session_p, cores)))
+
+
+def _executor_cores(spark: SparkSession) -> int:
+    """Concurrent task slots — the loop partition floor. NOT
+    ``defaultParallelism``: engine.session sets ``spark.default.parallelism``
+    to 2x the core count, which is a parallelism default, not the slot
+    count. ``local[N]`` is parsed directly; on a cluster the scheduler's
+    ``defaultParallelism`` (total cores when ``spark.default.parallelism``
+    is unset) is the available proxy — at worst a 2x-high floor there,
+    where the bytes term dominates anyway. ``spark.verum.loop.minPartitions``
+    overrides both."""
+    explicit = spark.conf.get("spark.verum.loop.minPartitions", None)
+    if explicit is not None:
+        return int(explicit)
+    master = spark.sparkContext.master
+    if master.startswith("local["):
+        n = master[6:].rstrip("]")
+        if n != "*":
+            return int(n)
+        return os.cpu_count() or 2
+    return spark.sparkContext.defaultParallelism
+
+
+def set_loop_partitions(spark: SparkSession, rows: int, row_bytes: int = 16) -> int:
+    """Apply :func:`loop_shuffle_partitions` mid-loop (for operators whose
+    input size is first observed on their setup materialization). Must run
+    inside ``iterative_conf``, which restores the session value on exit."""
+    p = loop_shuffle_partitions(spark, rows, row_bytes)
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    return p
+
+
 @contextmanager
-def iterative_conf(spark: SparkSession):
+def iterative_conf(
+    spark: SparkSession,
+    loop_rows: int | None = None,
+    row_bytes: int = 16,
+):
     """Pin query-planning conf for driver-controlled iteration loops; restore
-    on exit so relational queries keep AQE."""
+    on exit so relational queries keep AQE.
+
+    ``loop_rows``: when the loop's input row count is known up front, the
+    loop's ``spark.sql.shuffle.partitions`` is set scale-adaptively via
+    :func:`loop_shuffle_partitions` (and restored on exit). Operators whose
+    size is only observed on the setup materialization call
+    :func:`set_loop_partitions` instead — the restore here covers both."""
     conf = spark.conf
     saved = {
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.join.preferSortMergeJoin": conf.get(
             "spark.sql.join.preferSortMergeJoin"
         ),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
     }
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    if loop_rows is not None:
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(loop_shuffle_partitions(spark, loop_rows, row_bytes)),
+        )
     try:
         yield
     finally:
@@ -199,7 +278,14 @@ def pagerank(
     the vector is L1-normalized before iterating. Ignored when ``resume``
     finds a checkpoint (the checkpoint is the closer start).
     """
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning needs the input size BEFORE the
+    # edge table is laid out (the gather join's co-partitioning contract
+    # ties the cached edge layout to the loop's shuffle partitioning).
+    # Callers pass materialized edge tables, so this count is a cached
+    # scan; the bucketed path is exempt — its partitioning IS the saved
+    # bucket count, which the session value already matches.
+    loop_rows = None if edges_pre_partitioned else edges.count()
+    with iterative_conf(spark, loop_rows=loop_rows):
         return _pagerank_loop(
             spark, edges, vertices, alpha, tol, max_iter, weighted,
             personalization, checkpoint, checkpoint_every, resume,
@@ -636,7 +722,7 @@ def pagerank_delta(
         raise ValueError(f"frontier_c must be in [0, 1), got {frontier_c}")
     if tail_c is not None and not (0.0 <= tail_c < 1.0):
         raise ValueError(f"tail_c must be in [0, 1) or None, got {tail_c}")
-    with iterative_conf(spark):
+    with iterative_conf(spark, loop_rows=edges.count()):
         return _delta_loop(
             spark, edges, vertices, alpha, tol, max_iter, weighted,
             personalization, initial_ranks, frontier_c, broadcast_state,

@@ -114,7 +114,9 @@ def partition_graph(
     """
     if k < 2:
         raise ValueError(f"partition_graph: k must be >= 2, got {k}")
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning; size known before the dst-keyed
+    # layout commits a partition count (symmetric view: row_bytes=32).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _spinner(
             spark, edges, k, slack, penalty, min_gain, max_rounds, track_cut,
             weight_col, initial_assignment,

@@ -85,7 +85,12 @@ def double_edge_swap(
     )
     applied = 0
     attempted = 0
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning: the in-round exchanges (bucket
+    # window, occurrence groupBy, commit join) carry O(E) rows; the count
+    # reads the checkpoint just materialized. The PAIRING is bucket- and
+    # rank-determined (nbuckets above, from the session value), so the
+    # physical partition count never touches which swaps happen.
+    with iterative_conf(spark, loop_rows=e.count(), row_bytes=32):
         for r in range(rounds):
             k = F.xxhash64("a", "b", F.lit(seed), F.lit(r))
             keyed = e.select(

@@ -65,7 +65,8 @@ def earliest_arrival(
     ``horizon`` drops arrivals beyond a time bound each round, keeping
     local incident-response queries O(neighborhood) on a huge graph.
     """
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (see pagerank.loop_shuffle_partitions).
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         return _ea_loop(
             spark, edges, sources, ts_col, dur_col, strict, max_iter, horizon
         )

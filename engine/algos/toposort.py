@@ -57,7 +57,8 @@ def topological_layers(
     count as cycles. Parallel edges are collapsed (in-degree is counted
     over DISTINCT (src, dst) so duplicates don't inflate the peel gate).
     """
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (see pagerank.loop_shuffle_partitions).
+    with iterative_conf(spark, loop_rows=edges.count()):
         return _kahn(spark, edges, vertices, max_depth, require_dag)
 
 

@@ -55,7 +55,10 @@ def random_walks(
         raise ValueError(
             f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
         )
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning (see pagerank.loop_shuffle_partitions);
+    # walk picks are hash-of-(vid, step, seed) indexed into the deterministic
+    # rank order, so the physical partition count never touches the output.
+    with iterative_conf(spark, loop_rows=edges.count()):
         return _walk_loop(
             spark, edges, walk_length, walks_per_vertex, seed, checkpoint_every
         )
@@ -197,7 +200,7 @@ def node2vec_walks(
         raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
     if not (p > 0 and q > 0):
         raise ValueError(f"p and q must be > 0 (inf allowed), got p={p} q={q}")
-    with iterative_conf(spark):
+    with iterative_conf(spark, loop_rows=edges.count()):
         return _node2vec_loop(
             spark, edges, walk_length, walks_per_vertex, p, q, seed,
             checkpoint_every,

@@ -75,7 +75,9 @@ def wl_labels(
     """
     if rounds < 0:
         raise ValueError(f"wl_labels: rounds must be >= 0, got {rounds}")
-    with iterative_conf(spark):
+    # Scale-adaptive loop partitioning; size known before the (gid, dst)
+    # edge clustering commits a partition count.
+    with iterative_conf(spark, loop_rows=edges.count(), row_bytes=32):
         P = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # Partitioned by the JOIN key of the per-round gather (gid, dst):
         # rounds then move only the O(V) label state, never the edge table
